@@ -1,0 +1,256 @@
+"""tsfresh-parity feature calculators as native Spark expressions.
+
+The reference delegates per-pixel series descriptors to tsfresh
+(tsraster/calculate.py:103-112, grouped by pixel_id / ordered by time /
+per kind). This module re-expresses each exercised calculator
+(SURVEY.md §2.5 — README.md:105-118, tests/calculateFeatures.py:9-19)
+as Catalyst-native aggregate expressions so the hot path stays inside
+whole-stage codegen with partial+final hash aggregation — no Python in
+the loop.
+
+Numeric contracts that matter for rolled-up point equality:
+
+- ``variance``/``standard_deviation`` are **population** (ddof=0), the
+  tsfresh/NumPy default — ``var_pop``/``stddev_pop``, not the Spark SQL
+  sample defaults.
+- ``skewness``/``kurtosis`` are the **bias-corrected** pandas G1/G2, not
+  Spark's population g1/g2. Computed from central moments against a
+  window-attached group mean (numerically stable two-pass).
+- ``median``/``quantile(q)`` use exact linear interpolation
+  (``percentile``, not ``percentile_approx``).
+- ``autocorrelation(lag)`` uses the tsfresh estimator: global mean and
+  population variance, divisor ``(n - lag) * var_pop``.
+
+Row-level prerequisite columns (group mean/std/extrema, lag, row number)
+are attached by :func:`attach_group_stats` with windows partitioned on
+the rollup keys, so the window shuffle is the *only* shuffle — the
+subsequent groupBy reuses the same hash partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+V = "value"
+# Names of helper columns attached by attach_group_stats.
+MU, SIG, VMAX, VMIN, RN, LAG1, LAG2 = "_mu", "_sigma", "_vmax", "_vmin", "_rn", "_lag1", "_lag2"
+
+ORDER_COLS = ("turn_idx", "ts")
+
+
+def attach_group_stats(df: DataFrame, keys: list[str], order_cols=ORDER_COLS) -> DataFrame:
+    """Attach per-group stats + ordered lag/row-number as row columns.
+
+    One hash-partitioning on ``keys`` serves every window here and the
+    downstream groupBy — verified single-Exchange in the physical plan.
+    """
+    wu = Window.partitionBy(*keys)
+    wo = wu.orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn(MU, F.avg(V).over(wu))
+        .withColumn(SIG, F.stddev_pop(V).over(wu))
+        .withColumn(VMAX, F.max(V).over(wu))
+        .withColumn(VMIN, F.min(V).over(wu))
+        .withColumn(RN, F.row_number().over(wo))
+        .withColumn(LAG1, F.lag(V, 1).over(wo))
+        .withColumn(LAG2, F.lag(V, 2).over(wo))
+    )
+
+
+def _n() -> Column:
+    return F.count(F.col(V))
+
+
+def core_aggs() -> dict[str, Column]:
+    """Closed-form aggregates needing no helper columns."""
+    v = F.col(V)
+    return {
+        "turn_count": _n().cast("long"),
+        "mean": F.avg(v),
+        "maximum": F.max(v),
+        "minimum": F.min(v),
+        "sum_values": F.sum(v),
+        "median": F.expr(f"percentile({V}, 0.5)"),
+        "variance": F.var_pop(v),
+        "standard_deviation": F.stddev_pop(v),
+        "abs_energy": F.sum(v * v),
+        "root_mean_square": F.sqrt(F.avg(v * v)),
+        "mean_change": F.when(
+            _n() > 1,
+            (F.expr(f"max_by({V}, turn_idx)") - F.expr(f"min_by({V}, turn_idx)")) / (_n() - 1),
+        ),
+        "count_above_mean": F.sum((F.col(V) > F.col(MU)).cast("long")),
+        "count_below_mean": F.sum((F.col(V) < F.col(MU)).cast("long")),
+    }
+
+
+def quantile_aggs(qs=(0.05, 0.15, 0.85, 0.95)) -> dict[str, Column]:
+    """tsfresh ``quantile(q)`` — exact linear-interp percentile
+    (README.md:112; tests/calculateFeatures.py:16)."""
+    return {
+        f"quantile_q{str(q).replace('0.', '')}": F.expr(f"percentile({V}, {q})") for q in qs
+    }
+
+
+def moment_aggs() -> dict[str, Column]:
+    """Bias-corrected skewness / kurtosis (pandas ``skew()``/``kurt()``
+    semantics, the formulas tsfresh inherits). Requires ``attach_group_stats``.
+
+    G1 = g1 * sqrt(n(n-1)) / (n-2),          n > 2, m2 > 0
+    G2 = ((n+1)*g2 + 6) * (n-1)/((n-2)(n-3)), n > 3, m2 > 0
+    where g1 = m3/m2^1.5, g2 = m4/m2^2 - 3 (central moments m_k).
+    """
+    d = F.col(V) - F.col(MU)
+    n = _n().cast("double")
+    m2 = F.avg(d * d)
+    m3 = F.avg(d * d * d)
+    m4 = F.avg(d * d * d * d)
+    g1 = m3 / F.pow(m2, 1.5)
+    g2 = m4 / (m2 * m2) - 3.0
+    # pandas nanskew/nankurt return 0.0 for zero variance (constant series)
+    # provided the length requirement holds; shorter series give NaN/NULL.
+    skew = F.when(
+        _n() > 2,
+        F.when(m2 > 0, g1 * F.sqrt(n * (n - 1)) / (n - 2)).otherwise(F.lit(0.0)),
+    )
+    kurt = F.when(
+        _n() > 3,
+        F.when(m2 > 0, ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))).otherwise(F.lit(0.0)),
+    )
+    return {"skewness": skew, "kurtosis": kurt}
+
+
+def change_aggs() -> dict[str, Column]:
+    """Lag-based calculators. Requires ``attach_group_stats`` (LAG1)."""
+    diff = F.col(V) - F.col(LAG1)
+    # tsfresh mean_second_derivative_central: mean of (x_i - 2x_{i-1} + x_{i-2})/2
+    sec = F.when(
+        F.col(LAG2).isNotNull(), (F.col(V) - 2 * F.col(LAG1) + F.col(LAG2)) / 2.0
+    )
+    return {
+        "mean_abs_change": F.avg(F.abs(diff)),  # README.md:110
+        "mean_second_derivative_central": F.avg(sec),
+    }
+
+
+def ratio_beyond_r_sigma_aggs(rs=(2.0, 3.0)) -> dict[str, Column]:
+    """mean(|x - mu| > r * sigma_pop) — examples nb group_1."""
+    out = {}
+    for r in rs:
+        flag = (F.abs(F.col(V) - F.col(MU)) > F.lit(float(r)) * F.col(SIG)).cast("double")
+        out[f"ratio_beyond_r_sigma_r{int(r)}"] = F.avg(flag)
+    return out
+
+
+def autocorrelation_agg(lag: int = 1) -> dict[str, Column]:
+    """tsfresh autocorrelation(lag): sum((x_t-mu)(x_{t+lag}-mu)) / ((n-lag)*var_pop).
+
+    With LAG1 attached, each row t>lag contributes (x_t-mu)(x_{t-lag}-mu)
+    — an index shift that leaves the sum identical.
+    """
+    n = _n().cast("double")
+    var = F.col(SIG) * F.col(SIG)
+    num = F.sum(
+        F.when(F.col(LAG1).isNotNull(), (F.col(V) - F.col(MU)) * (F.col(LAG1) - F.col(MU)))
+    )
+    denom = (n - lag) * F.max(var)
+    return {
+        f"autocorrelation_lag{lag}": F.when((_n() > lag) & (F.max(var) > 0), num / denom)
+    }
+
+
+def location_aggs() -> dict[str, Column]:
+    """Relative locations of extrema (tsfresh, 0-based argmin/argmax):
+
+    - last_location_of_maximum  = (last  1-based rn at max) / n
+    - first_location_of_maximum = (first 1-based rn at max - 1) / n
+    """
+    n = _n().cast("double")
+    at_max = F.when(F.col(V) == F.col(VMAX), F.col(RN))
+    at_min = F.when(F.col(V) == F.col(VMIN), F.col(RN))
+    return {
+        "last_location_of_maximum": F.max(at_max).cast("double") / n,
+        "first_location_of_maximum": (F.min(at_max) - 1).cast("double") / n,
+        "last_location_of_minimum": F.max(at_min).cast("double") / n,
+        "first_location_of_minimum": (F.min(at_min) - 1).cast("double") / n,
+    }
+
+
+def large_standard_deviation_aggs(rs=(0.25,)) -> dict[str, Column]:
+    """sigma_pop > r * (max - min) — examples/calculateFeatures.ipynb."""
+    out = {}
+    for r in rs:
+        out[f"large_standard_deviation_r{str(r).replace('0.', '')}"] = (
+            F.stddev_pop(V) > F.lit(float(r)) * (F.max(V) - F.min(V))
+        ).cast("int")
+    return out
+
+
+def default_feature_aggs(include_order_sensitive: bool = True) -> dict[str, Column]:
+    """The full native aggregate map (column name -> aggregate Column)."""
+    aggs: dict[str, Column] = {}
+    aggs.update(core_aggs())
+    aggs.update(quantile_aggs())
+    aggs.update(moment_aggs())
+    aggs.update(ratio_beyond_r_sigma_aggs())
+    aggs.update(large_standard_deviation_aggs())
+    if include_order_sensitive:
+        aggs.update(change_aggs())
+        aggs.update(autocorrelation_agg(1))
+        aggs.update(location_aggs())
+    return aggs
+
+
+def longest_strike(df: DataFrame, keys: list[str], above: bool = True) -> DataFrame:
+    """longest_strike_above_mean / _below_mean (README.md:113-114).
+
+    Gaps-and-islands: within a group ordered by (turn_idx, ts), an
+    island of consecutive rows with the same above/below-mean flag is
+    identified by ``rn - row_number() over (keys + flag)``; the feature
+    is the max island length where the flag holds. Returns one row per
+    key tuple with column ``longest_strike_{above,below}_mean`` (0 when
+    no row satisfies the flag, matching tsfresh's max of empty runs).
+
+    Requires ``attach_group_stats`` columns (MU, RN).
+    """
+    name = f"longest_strike_{'above' if above else 'below'}_mean"
+    flag = (F.col(V) > F.col(MU)) if above else (F.col(V) < F.col(MU))
+    d = df.withColumn("_flag", flag.cast("int"))
+    w_flag = Window.partitionBy(*(keys + ["_flag"])).orderBy("turn_idx", "ts")
+    d = d.withColumn("_island", F.col(RN) - F.row_number().over(w_flag))
+    runs = (
+        d.where(F.col("_flag") == 1)
+        .groupBy(*(keys + ["_island"]))
+        .agg(F.count("*").alias("_run"))
+        .groupBy(*keys)
+        .agg(F.max("_run").alias(name))
+    )
+    base = df.select(*keys).distinct()
+    return base.join(runs, keys, "left").withColumn(name, F.coalesce(F.col(name), F.lit(0)).cast("long"))
+
+
+def agg_linear_trend_slope(
+    df: DataFrame, keys: list[str], chunk_len: int = 3, f_agg: str = "max"
+) -> DataFrame:
+    """agg_linear_trend(attr='slope', chunk_len, f_agg) — examples nb group_2.
+
+    Chunk the ordered series into blocks of ``chunk_len`` (final partial
+    block included, tsfresh semantics), aggregate each block with
+    ``f_agg``, then OLS-regress the block aggregates on the block index
+    (``regr_slope``, native since Spark 3.4).
+
+    Requires ``attach_group_stats`` (RN). Output column:
+    ``agg_linear_trend_slope_{f_agg}_chunk{chunk_len}``.
+    """
+    name = f"agg_linear_trend_slope_{f_agg}_chunk{chunk_len}"
+    agg_fn = {"max": F.max, "min": F.min, "mean": F.avg}[f_agg]
+    chunks = (
+        df.withColumn("_chunk", F.floor((F.col(RN) - 1) / chunk_len))
+        .groupBy(*(keys + ["_chunk"]))
+        .agg(agg_fn(V).alias("_chunk_agg"))
+    )
+    return chunks.groupBy(*keys).agg(
+        F.expr("regr_slope(_chunk_agg, _chunk)").alias(name)
+    )

@@ -1,0 +1,197 @@
+"""Pure pandas/NumPy oracle of the tsfresh calculators the engine claims.
+
+tsfresh itself is not installed in this sandbox, so unit tests compare
+every Spark kernel/aggregate against these reimplementations of the
+published formulas (tsfresh docs; semantics pinned in SURVEY.md §2.5 —
+population variance ddof=0, bias-corrected pandas skew/kurt, linear-interp
+quantiles, autocorrelation with global mean/variance).
+
+These run on a plain ordered 1-D float array (one (conv_id, kind[,bucket])
+series, already sorted by (turn_idx, ts)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def mean(x):
+    return float(np.mean(x))
+
+
+def maximum(x):
+    return float(np.max(x))
+
+
+def minimum(x):
+    return float(np.min(x))
+
+
+def median(x):
+    return float(np.median(x))
+
+
+def sum_values(x):
+    return float(np.sum(x))
+
+
+def variance(x):
+    return float(np.var(x))  # ddof=0 (population)
+
+
+def standard_deviation(x):
+    return float(np.std(x))
+
+
+def abs_energy(x):
+    return float(np.dot(x, x))
+
+
+def root_mean_square(x):
+    return float(np.sqrt(np.mean(np.square(x))))
+
+
+def skewness(x):
+    return float(pd.Series(x).skew())  # bias-corrected G1
+
+
+def kurtosis(x):
+    return float(pd.Series(x).kurt())  # bias-corrected excess G2
+
+
+def mean_change(x):
+    x = np.asarray(x)
+    return float((x[-1] - x[0]) / (len(x) - 1)) if len(x) > 1 else np.nan
+
+
+def mean_abs_change(x):
+    return float(np.mean(np.abs(np.diff(x)))) if len(x) > 1 else np.nan
+
+
+def mean_second_derivative_central(x):
+    x = np.asarray(x)
+    if len(x) < 3:
+        return np.nan
+    return float(np.mean((x[2:] - 2 * x[1:-1] + x[:-2]) / 2.0))
+
+
+def quantile(x, q):
+    return float(np.quantile(np.asarray(x, dtype=float), q))  # linear interp
+
+
+def ratio_beyond_r_sigma(x, r):
+    x = np.asarray(x, dtype=float)
+    return float(np.mean(np.abs(x - np.mean(x)) > r * np.std(x)))
+
+
+def autocorrelation(x, lag):
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if n <= lag:
+        return np.nan
+    v = np.var(x)
+    if v == 0:
+        return np.nan
+    mu = np.mean(x)
+    return float(np.sum((x[: n - lag] - mu) * (x[lag:] - mu)) / ((n - lag) * v))
+
+
+def count_above_mean(x):
+    x = np.asarray(x, dtype=float)
+    return int(np.sum(x > np.mean(x)))
+
+
+def count_below_mean(x):
+    x = np.asarray(x, dtype=float)
+    return int(np.sum(x < np.mean(x)))
+
+
+def _longest_run(mask):
+    best = cur = 0
+    for m in mask:
+        cur = cur + 1 if m else 0
+        best = max(best, cur)
+    return best
+
+
+def longest_strike_above_mean(x):
+    x = np.asarray(x, dtype=float)
+    return int(_longest_run(x > np.mean(x)))
+
+
+def longest_strike_below_mean(x):
+    x = np.asarray(x, dtype=float)
+    return int(_longest_run(x < np.mean(x)))
+
+
+def last_location_of_maximum(x):
+    x = np.asarray(x, dtype=float)
+    return float(1.0 - np.argmax(x[::-1]) / len(x))
+
+
+def first_location_of_maximum(x):
+    x = np.asarray(x, dtype=float)
+    return float(np.argmax(x) / len(x))
+
+
+def last_location_of_minimum(x):
+    x = np.asarray(x, dtype=float)
+    return float(1.0 - np.argmin(x[::-1]) / len(x))
+
+
+def first_location_of_minimum(x):
+    x = np.asarray(x, dtype=float)
+    return float(np.argmin(x) / len(x))
+
+
+def large_standard_deviation(x, r):
+    x = np.asarray(x, dtype=float)
+    return int(np.std(x) > r * (np.max(x) - np.min(x)))
+
+
+def agg_linear_trend_slope(x, chunk_len, f_agg="max"):
+    x = np.asarray(x, dtype=float)
+    fn = {"max": np.max, "min": np.min, "mean": np.mean}[f_agg]
+    chunks = [fn(x[i : i + chunk_len]) for i in range(0, len(x), chunk_len)]
+    if len(chunks) < 2:
+        return np.nan
+    idx = np.arange(len(chunks), dtype=float)
+    slope = np.polyfit(idx, np.asarray(chunks, dtype=float), 1)[0]
+    return float(slope)
+
+
+ORACLES = {
+    "mean": mean,
+    "maximum": maximum,
+    "minimum": minimum,
+    "median": median,
+    "sum_values": sum_values,
+    "variance": variance,
+    "standard_deviation": standard_deviation,
+    "abs_energy": abs_energy,
+    "root_mean_square": root_mean_square,
+    "skewness": skewness,
+    "kurtosis": kurtosis,
+    "mean_change": mean_change,
+    "mean_abs_change": mean_abs_change,
+    "mean_second_derivative_central": mean_second_derivative_central,
+    "quantile_q05": lambda x: quantile(x, 0.05),
+    "quantile_q15": lambda x: quantile(x, 0.15),
+    "quantile_q85": lambda x: quantile(x, 0.85),
+    "quantile_q95": lambda x: quantile(x, 0.95),
+    "ratio_beyond_r_sigma_r2": lambda x: ratio_beyond_r_sigma(x, 2),
+    "ratio_beyond_r_sigma_r3": lambda x: ratio_beyond_r_sigma(x, 3),
+    "autocorrelation_lag1": lambda x: autocorrelation(x, 1),
+    "count_above_mean": count_above_mean,
+    "count_below_mean": count_below_mean,
+    "longest_strike_above_mean": longest_strike_above_mean,
+    "longest_strike_below_mean": longest_strike_below_mean,
+    "last_location_of_maximum": last_location_of_maximum,
+    "first_location_of_maximum": first_location_of_maximum,
+    "last_location_of_minimum": last_location_of_minimum,
+    "first_location_of_minimum": first_location_of_minimum,
+    "large_standard_deviation_r25": lambda x: large_standard_deviation(x, 0.25),
+    "agg_linear_trend_slope_max_chunk3": lambda x: agg_linear_trend_slope(x, 3, "max"),
+    "turn_count": lambda x: len(x),
+}

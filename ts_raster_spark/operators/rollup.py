@@ -1,0 +1,90 @@
+"""Tiered rollup: the ``calculateFeatures`` analog (tsraster/calculate.py:58-181).
+
+Computes the wide per-conversation feature table — one row per
+``(conv_id, kind[, bucket_start])``, one column per descriptor — using
+the native aggregate library in :mod:`ts_raster_spark.functions.features`.
+Retention tiers (minute/hour/day) are tumbling ``date_trunc`` buckets;
+``tier=None`` reproduces the reference's whole-series extraction (the
+reference's period label ``"{min}_{max}"``, calculate.py:118, becomes the
+explicit ``bucket_start`` key).
+
+Scale design: the window pre-pass and the groupBy share one hash
+partitioning on the rollup keys → a single shuffle for the whole feature
+block. Strike/trend features need their own island/chunk aggregations
+and are joined back on the same keys (co-partitioned, AQE-planned).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ts_raster_spark.functions import features as FT
+
+TIERS = {"minute": "minute", "hour": "hour", "day": "day"}
+
+
+def bucketize(long_df: DataFrame, tier: str | None) -> tuple[DataFrame, list[str]]:
+    """Add ``bucket_start`` for the tier; return (df, rollup keys)."""
+    keys = ["conv_id", "kind"]
+    if tier is None:
+        return long_df, keys
+    if tier not in TIERS:
+        raise ValueError(f"unknown tier {tier!r}; want one of {sorted(TIERS)} or None")
+    out = long_df.withColumn("bucket_start", F.date_trunc(TIERS[tier], F.col("ts")))
+    return out, keys + ["bucket_start"]
+
+
+def rollup_features(
+    long_df: DataFrame,
+    tier: str | None = "minute",
+    include_strikes: bool = False,
+    include_trend: bool = False,
+    feature_names: list[str] | None = None,
+) -> DataFrame:
+    """Wide feature rollup at a retention tier.
+
+    ``feature_names`` optionally restricts the output columns (the
+    reference's ``parameters`` dict of requested calculators,
+    calculate.py:103-112).
+    """
+    df, keys = bucketize(long_df, tier)
+    df = FT.attach_group_stats(df, keys)
+    aggs = FT.default_feature_aggs()
+    if feature_names is not None:
+        aggs = {k: v for k, v in aggs.items() if k in set(feature_names)}
+    wide = df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+
+    extras: list[DataFrame] = []
+    if include_strikes:
+        extras.append(FT.longest_strike(df, keys, above=True))
+        extras.append(FT.longest_strike(df, keys, above=False))
+    if include_trend:
+        extras.append(FT.agg_linear_trend_slope(df, keys, chunk_len=3, f_agg="max"))
+    if extras:
+        wide = reduce(lambda a, b: a.join(b, keys, "left"), [wide, *extras])
+    return wide
+
+
+def rollup_simple(
+    long_df: DataFrame, tier: str, aggs: dict | None = None
+) -> DataFrame:
+    """Cheap tier rollup with only algebraic aggregates (the cascade base).
+
+    Carries the sufficient statistics (count / sum / sum² / min / max)
+    from which every algebraic feature of a coarser tier is derivable —
+    see :mod:`ts_raster_spark.operators.cascade`.
+    """
+    df, keys = bucketize(long_df, tier)
+    v = F.col("value")
+    default = {
+        "turn_count": F.count(v).cast("long"),
+        "sum_values": F.sum(v),
+        "sum_squares": F.sum(v * v),
+        "minimum": F.min(v),
+        "maximum": F.max(v),
+    }
+    use = aggs or default
+    return df.groupBy(*keys).agg(*[c.alias(n) for n, c in use.items()])
