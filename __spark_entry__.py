@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator names (SURVEY.md §2) to Spark builders from
+:mod:`ts_raster_spark.queries`; ``oracle_sql()`` carries the equivalent
+DuckDB SQL over the same parquet tables, built from the shared CTE
+prefixes in :mod:`ts_raster_spark.sql`. Both sides apply one
+normalization contract (doubles rounded to 4 decimals, timestamps
+rendered as strings) so the driver's order-insensitive value hash
+compares exactly.
 """
 
 from __future__ import annotations
@@ -13,26 +15,274 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ts_raster_spark import queries as Q
+from ts_raster_spark.sql.duck_features import feature_select, stats_cte
+from ts_raster_spark.sql.oracle_prefix import LONG_CTE, TURNS_CTE
+
+TS_FMT = "%Y-%m-%d %H:%M:%S"
+TS_FMT_US = "%Y-%m-%d %H:%M:%S.%f"
+
+_FULL = [
+    "turn_count", "mean", "maximum", "minimum", "sum_values", "median",
+    "variance", "standard_deviation", "abs_energy", "root_mean_square",
+    "mean_change", "count_above_mean", "count_below_mean",
+    "quantile_q05", "quantile_q15", "quantile_q85", "quantile_q95",
+    "skewness", "kurtosis", "ratio_beyond_r_sigma_r2", "ratio_beyond_r_sigma_r3",
+    "large_standard_deviation_r25", "mean_abs_change",
+    "mean_second_derivative_central", "autocorrelation_lag1",
+    "last_location_of_maximum", "first_location_of_maximum",
+    "last_location_of_minimum", "first_location_of_minimum",
+]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hour-tier full feature rollup over text_len + latency
+    channels on sf0.001 (the end-to-end raw→rollup slice)."""
+    return Q.q_rollup_hour_full(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "turns_derivation": Q.q_turns_derivation,
+        "long_panel": Q.q_long_panel,
+        "rollup_minute_core": Q.q_rollup_minute_core,
+        "rollup_hour_full": Q.q_rollup_hour_full,
+        "rollup_day_full": Q.q_rollup_day_full,
+        "conv_features": Q.q_conv_features,
+        "latency_stats_hour": Q.q_latency_stats_hour,
+        "role_tool_mix_conv": Q.q_role_tool_mix_conv,
+        "turn_count_hour": Q.q_turn_count_hour,
+        "mask_rollup_hour": Q.q_mask_rollup_hour,
+        "unmask_conv_counts": Q.q_unmask_conv_counts,
+        "panel_lag1": Q.q_panel_lag1,
+        "cascade_hour_from_minute": Q.q_cascade_hour_from_minute,
+        "cascade_day_from_minute": Q.q_cascade_day_from_minute,
+        "gapfill_locf_hour": Q.q_gapfill_locf_hour,
+        "gapfill_linear_hour": Q.q_gapfill_linear_hour,
+        "gapfill_sentinel_hour": Q.q_gapfill_sentinel_hour,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _tier_rollup_sql(tier: str, kinds: list[str], features: list[str]) -> str:
+    kl = ", ".join(f"'{k}'" for k in kinds)
+    sel = feature_select(
+        features,
+        keys=["conv_id", "kind", "bucket_start"],
+        key_exprs=[
+            "conv_id",
+            "kind",
+            f"strftime(bucket_start, '{TS_FMT}') AS bucket_start",
+        ],
+    )
+    return f"""{LONG_CTE},
+base AS (
+    SELECT conv_id, kind, date_trunc('{tier}', ts) AS bucket_start, turn_idx, ts, value
+    FROM long_panel WHERE kind IN ({kl})
+),
+{stats_cte(["conv_id", "kind", "bucket_start"], src="base")}
+SELECT {sel}
+FROM stats
+GROUP BY conv_id, kind, bucket_start
+"""
+
+
+def _conv_features_sql() -> str:
+    sel = feature_select(_FULL, keys=["conv_id", "kind"])
+    return f"""{LONG_CTE},
+base AS (
+    SELECT conv_id, kind, turn_idx, ts, value FROM long_panel WHERE kind = 'text_len'
+),
+{stats_cte(["conv_id", "kind"], src="base")},
+flagged AS (
+    SELECT *,
+        CASE WHEN value > mu THEN 1 ELSE 0 END AS flga,
+        CASE WHEN value < mu THEN 1 ELSE 0 END AS flgb,
+        rn - row_number() OVER (PARTITION BY conv_id, kind, CASE WHEN value > mu THEN 1 ELSE 0 END ORDER BY turn_idx, ts) AS isla,
+        rn - row_number() OVER (PARTITION BY conv_id, kind, CASE WHEN value < mu THEN 1 ELSE 0 END ORDER BY turn_idx, ts) AS islb
+    FROM stats
+),
+runs_a AS (
+    SELECT conv_id, kind, isla AS island, count(*) AS run FROM flagged WHERE flga = 1 GROUP BY 1, 2, 3
+),
+runs_b AS (
+    SELECT conv_id, kind, islb AS island, count(*) AS run FROM flagged WHERE flgb = 1 GROUP BY 1, 2, 3
+),
+strikes AS (
+    SELECT k.conv_id, k.kind,
+        coalesce((SELECT max(run) FROM runs_a a WHERE a.conv_id = k.conv_id AND a.kind = k.kind), 0) AS longest_strike_above_mean,
+        coalesce((SELECT max(run) FROM runs_b b WHERE b.conv_id = k.conv_id AND b.kind = k.kind), 0) AS longest_strike_below_mean
+    FROM (SELECT DISTINCT conv_id, kind FROM base) k
+),
+chunks AS (
+    SELECT conv_id, kind, CAST(floor((rn - 1) / 3) AS BIGINT) AS chunk, max(value) AS chunk_agg
+    FROM stats GROUP BY 1, 2, 3
+),
+trend AS (
+    SELECT conv_id, kind, round(regr_slope(chunk_agg, chunk), 4) AS agg_linear_trend_slope_max_chunk3
+    FROM chunks GROUP BY 1, 2
+),
+feats AS (
+    SELECT {sel}
+    FROM stats GROUP BY conv_id, kind
+)
+SELECT f.*, s.longest_strike_above_mean, s.longest_strike_below_mean,
+       t.agg_linear_trend_slope_max_chunk3
+FROM feats f
+LEFT JOIN strikes s ON f.conv_id = s.conv_id AND f.kind = s.kind
+LEFT JOIN trend t ON f.conv_id = t.conv_id AND f.kind = t.kind
+"""
+
+
+def _gapfill_sql(policy: str) -> str:
+    if policy == "locf":
+        fill = (
+            "last_value(value IGNORE NULLS) OVER "
+            "(PARTITION BY conv_id, kind ORDER BY bucket_start "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        filled_cte = f"filled AS (SELECT conv_id, kind, bucket_start, {fill} AS value, observed FROM dense)"
+    elif policy == "sentinel":
+        filled_cte = "filled AS (SELECT conv_id, kind, bucket_start, coalesce(value, -9999.0) AS value, observed FROM dense)"
+    else:  # linear
+        filled_cte = """
+brackets AS (
+    SELECT *,
+        last_value(value IGNORE NULLS) OVER w_back AS pv,
+        last_value(CASE WHEN value IS NOT NULL THEN epoch(bucket_start) END IGNORE NULLS) OVER w_back AS pt,
+        first_value(value IGNORE NULLS) OVER w_fwd AS nv,
+        first_value(CASE WHEN value IS NOT NULL THEN epoch(bucket_start) END IGNORE NULLS) OVER w_fwd AS nt
+    FROM dense
+    WINDOW
+        w_back AS (PARTITION BY conv_id, kind ORDER BY bucket_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fwd AS (PARTITION BY conv_id, kind ORDER BY bucket_start ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+filled AS (
+    SELECT conv_id, kind, bucket_start,
+        CASE WHEN value IS NOT NULL THEN value
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (epoch(bucket_start) - pt) / (nt - pt)
+        END AS value,
+        observed
+    FROM brackets
+)"""
+    return f"""{LONG_CTE},
+points AS (
+    SELECT conv_id, kind, date_trunc('hour', ts) AS bucket_start, avg(value) AS value
+    FROM long_panel WHERE kind = 'text_len' GROUP BY 1, 2, 3
+),
+spans AS (
+    SELECT conv_id, kind, min(bucket_start) AS b0, max(bucket_start) AS b1 FROM points GROUP BY 1, 2
+),
+grid AS (
+    SELECT conv_id, kind, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket_start FROM spans
+),
+dense AS (
+    SELECT g.conv_id, g.kind, g.bucket_start, p.value,
+        CASE WHEN p.value IS NOT NULL THEN 1 ELSE 0 END AS observed
+    FROM grid g LEFT JOIN points p
+        ON g.conv_id = p.conv_id AND g.kind = p.kind AND g.bucket_start = p.bucket_start
+),
+{filled_cte}
+SELECT conv_id, kind, strftime(bucket_start, '{TS_FMT}') AS bucket_start,
+       round(value, 4) AS value, observed
+FROM filled
+"""
+
+
+_CASCADE_COLS = """
+    count(value) AS turn_count,
+    round(sum(value), 4) AS sum_values,
+    round(sum(value * value), 4) AS sum_squares,
+    round(min(value), 4) AS minimum,
+    round(max(value), 4) AS maximum,
+    round(avg(value), 4) AS mean,
+    round(var_pop(value), 4) AS variance
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "turns_derivation": f"""{TURNS_CTE}
+SELECT conv_id, turn_idx, role, text, tool, strftime(ts, '{TS_FMT_US}') AS ts FROM turns
+""",
+        "long_panel": f"""{LONG_CTE}
+SELECT conv_id, turn_idx, strftime(ts, '{TS_FMT_US}') AS ts, kind, round(value, 4) AS value
+FROM long_panel
+""",
+        "rollup_minute_core": _tier_rollup_sql(
+            "minute",
+            ["text_len"],
+            ["turn_count", "mean", "maximum", "minimum", "sum_values", "median",
+             "variance", "standard_deviation", "abs_energy"],
+        ),
+        "rollup_hour_full": _tier_rollup_sql("hour", ["text_len", "latency_s"], _FULL),
+        "rollup_day_full": _tier_rollup_sql("day", ["text_len", "value"], _FULL),
+        "conv_features": _conv_features_sql(),
+        "latency_stats_hour": _tier_rollup_sql(
+            "hour",
+            ["latency_s"],
+            ["turn_count", "mean", "maximum", "minimum", "standard_deviation",
+             "median", "quantile_q95"],
+        ),
+        "role_tool_mix_conv": f"""{TURNS_CTE}
+SELECT conv_id,
+    count(*) AS n_turns,
+    round(avg(CASE WHEN role = 'assistant' THEN 1.0 ELSE 0.0 END), 4) AS assistant_share,
+    round(avg(CASE WHEN role = 'user' THEN 1.0 ELSE 0.0 END), 4) AS user_share,
+    round(avg(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS tool_share,
+    count(DISTINCT tool) AS n_distinct_tools
+FROM turns GROUP BY conv_id
+""",
+        "turn_count_hour": f"""{TURNS_CTE}
+SELECT conv_id, strftime(date_trunc('hour', ts), '{TS_FMT}') AS bucket_start,
+       count(*) AS turn_count
+FROM turns GROUP BY conv_id, date_trunc('hour', ts)
+""",
+        "mask_rollup_hour": f"""{LONG_CTE},
+filtered AS (
+    SELECT * FROM long_panel
+    WHERE kind = 'text_len' AND CAST(substr(conv_id, 6, 10) AS INTEGER) % 2 = 0
+)
+SELECT conv_id, kind, strftime(date_trunc('hour', ts), '{TS_FMT}') AS bucket_start,
+    count(value) AS turn_count,
+    round(avg(value), 4) AS mean,
+    round(max(value), 4) AS maximum,
+    round(min(value), 4) AS minimum
+FROM filtered GROUP BY conv_id, kind, date_trunc('hour', ts)
+""",
+        "unmask_conv_counts": f"""{TURNS_CTE},
+domain AS (SELECT DISTINCT conv_id FROM turns),
+masked AS (
+    SELECT conv_id, CAST(count(*) AS DOUBLE) AS n_turns
+    FROM turns WHERE CAST(substr(conv_id, 6, 10) AS INTEGER) % 2 = 0
+    GROUP BY conv_id
+)
+SELECT d.conv_id, round(coalesce(m.n_turns, -9999.0), 4) AS n_turns
+FROM domain d LEFT JOIN masked m ON d.conv_id = m.conv_id
+""",
+        "panel_lag1": f"""{LONG_CTE},
+lagged AS (
+    SELECT conv_id, kind, turn_idx, value,
+        lag(value, 1) OVER (PARTITION BY conv_id, kind ORDER BY turn_idx, ts) AS value_lag1
+    FROM long_panel WHERE kind IN ('text_len', 'value')
+)
+SELECT conv_id, kind, turn_idx, round(value, 4) AS value, round(value_lag1, 4) AS value_lag1
+FROM lagged WHERE value_lag1 IS NOT NULL
+""",
+        "cascade_hour_from_minute": f"""{LONG_CTE}
+SELECT conv_id, kind, strftime(date_trunc('hour', ts), '{TS_FMT}') AS bucket_start,
+{_CASCADE_COLS}
+FROM long_panel WHERE kind = 'text_len'
+GROUP BY conv_id, kind, date_trunc('hour', ts)
+""",
+        "cascade_day_from_minute": f"""{LONG_CTE}
+SELECT conv_id, kind, strftime(date_trunc('day', ts), '{TS_FMT}') AS bucket_start,
+{_CASCADE_COLS}
+FROM long_panel WHERE kind IN ('text_len', 'latency_s')
+GROUP BY conv_id, kind, date_trunc('day', ts)
+""",
+        "gapfill_locf_hour": _gapfill_sql("locf"),
+        "gapfill_linear_hour": _gapfill_sql("linear"),
+        "gapfill_sentinel_hour": _gapfill_sql("sentinel"),
+    }

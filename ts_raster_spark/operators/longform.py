@@ -27,6 +27,16 @@ from pyspark.sql.window import Window
 CHANNELS = ("text_len", "latency_s", "is_tool", "role_user", "role_assistant", "value")
 
 
+def epoch_seconds(col) -> F.Column:
+    """µs-exact epoch seconds as double, tolerant of TIMESTAMP_NTZ scans.
+
+    NTZ→LTZ conversion uses the session time zone (pinned UTC in
+    session.py), so the wall clock is preserved and matches DuckDB's
+    ``epoch()`` over the same naive parquet timestamps.
+    """
+    return col.cast("timestamp_ltz").cast("double")
+
+
 def with_channels(turns: DataFrame) -> DataFrame:
     """Add the derived numeric channel columns to a turns DataFrame.
 
@@ -41,7 +51,7 @@ def with_channels(turns: DataFrame) -> DataFrame:
         df.withColumn("text_len", F.length("text").cast("double"))
         .withColumn(
             "latency_s",
-            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w),
+            epoch_seconds(F.col("ts")) - F.lag(epoch_seconds(F.col("ts"))).over(w),
         )
         .withColumn("is_tool", F.col("tool").isNotNull().cast("double"))
         .withColumn("role_user", (F.col("role") == "user").cast("double"))

@@ -1,0 +1,215 @@
+"""Driver-facing query builders: each returns a DataFrame whose columns
+match the DuckDB oracle byte-for-byte after deterministic normalization.
+
+Normalization contract (applies identically in the oracle SQL):
+- double outputs rounded to 4 decimals (floating aggregates are
+  order-of-summation sensitive across engines; 4 decimals >> both
+  engines' per-value error),
+- timestamps rendered as strings ``yyyy-MM-dd HH:mm:ss[.SSSSSS]`` (no
+  tz/precision ambiguity across engines),
+- integer counts / exact values left untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ts_raster_spark.operators.cascade import cascade_up
+from ts_raster_spark.operators.gapfill import gapfill
+from ts_raster_spark.operators.longform import to_long_panel
+from ts_raster_spark.operators.mask import mask_df, unmask_df
+from ts_raster_spark.operators.rollup import rollup_features, rollup_simple
+from ts_raster_spark.sources.turns import derive_turns_from_events
+
+ROUND_N = 4
+
+
+def load_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return derive_turns_from_events(events)
+
+
+def load_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return to_long_panel(load_turns(spark, sf_dir))
+
+
+def finalize(df: DataFrame, ts_fmt: str = "yyyy-MM-dd HH:mm:ss") -> DataFrame:
+    """Apply the normalization contract to every column by type."""
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, T.DoubleType):
+            cols.append(F.round(c, ROUND_N).alias(f.name))
+        elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            cols.append(F.date_format(c, ts_fmt).alias(f.name))
+        elif isinstance(f.dataType, T.FloatType):
+            cols.append(F.round(c.cast("double"), ROUND_N).alias(f.name))
+        else:
+            cols.append(c.alias(f.name))
+    return df.select(*cols)
+
+
+# --- §2.1/§2.3: source derivation + unpivot -------------------------------
+
+def q_turns_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived turns table itself — per-turn text equality evidence."""
+    return finalize(
+        load_turns(spark, sf_dir).select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        ),
+        ts_fmt="yyyy-MM-dd HH:mm:ss.SSSSSS",
+    )
+
+
+def q_long_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_to_series analog: tidy long panel (prep.py:116-154)."""
+    return finalize(
+        load_long(spark, sf_dir).select("conv_id", "turn_idx", "ts", "kind", "value"),
+        ts_fmt="yyyy-MM-dd HH:mm:ss.SSSSSS",
+    )
+
+
+# --- §2.5: tiered feature rollups -----------------------------------------
+
+_FULL_FEATURES = None  # all of default_feature_aggs
+
+
+def _rollup(spark, sf_dir, tier, kinds=None, strikes=False, trend=False):
+    long_df = load_long(spark, sf_dir)
+    if kinds:
+        long_df = long_df.where(F.col("kind").isin(*kinds))
+    return finalize(rollup_features(long_df, tier=tier, include_strikes=strikes, include_trend=trend))
+
+
+def q_rollup_minute_core(spark, sf_dir):
+    df = _rollup(spark, sf_dir, "minute", kinds=["text_len"])
+    keep = ["conv_id", "kind", "bucket_start", "turn_count", "mean", "maximum",
+            "minimum", "sum_values", "median", "variance", "standard_deviation", "abs_energy"]
+    return df.select(*keep)
+
+
+def q_rollup_hour_full(spark, sf_dir):
+    return _rollup(spark, sf_dir, "hour", kinds=["text_len", "latency_s"])
+
+
+def q_rollup_day_full(spark, sf_dir):
+    return _rollup(spark, sf_dir, "day", kinds=["text_len", "value"])
+
+
+def q_conv_features(spark, sf_dir):
+    """Whole-series extraction (the reference's single-period
+    calculateFeatures run), incl. strikes + chunked linear trend."""
+    return _rollup(spark, sf_dir, None, kinds=["text_len"], strikes=True, trend=True)
+
+
+def q_latency_stats_hour(spark, sf_dir):
+    df = _rollup(spark, sf_dir, "hour", kinds=["latency_s"])
+    keep = ["conv_id", "kind", "bucket_start", "turn_count", "mean", "maximum",
+            "minimum", "standard_deviation", "median", "quantile_q95"]
+    return df.select(*keep)
+
+
+def q_role_tool_mix_conv(spark, sf_dir):
+    """North-star transcript channels: role shares / tool mix per conversation."""
+    t = load_turns(spark, sf_dir)
+    out = t.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.avg((F.col("role") == "assistant").cast("double")).alias("assistant_share"),
+        F.avg((F.col("role") == "user").cast("double")).alias("user_share"),
+        F.avg(F.col("tool").isNotNull().cast("double")).alias("tool_share"),
+        F.count_distinct("tool").cast("long").alias("n_distinct_tools"),
+    )
+    return finalize(out)
+
+
+def q_turn_count_hour(spark, sf_dir):
+    t = load_turns(spark, sf_dir)
+    out = (
+        t.withColumn("bucket_start", F.date_trunc("hour", F.col("ts")))
+        .groupBy("conv_id", "bucket_start")
+        .agg(F.count("*").cast("long").alias("turn_count"))
+    )
+    return finalize(out)
+
+
+# --- §2.4: mask / unmask joins --------------------------------------------
+
+def _mask(spark, sf_dir):
+    t = load_turns(spark, sf_dir)
+    ids = t.select("conv_id").distinct()
+    return ids.withColumn(
+        "keep", (F.substring("conv_id", 6, 10).cast("int") % 2 == 0).cast("int")
+    )
+
+
+def q_mask_rollup_hour(spark, sf_dir):
+    """mask_df analog: left-semi filter then rollup (calculate.py:90-91)."""
+    long_df = load_long(spark, sf_dir).where(F.col("kind") == "text_len")
+    masked = mask_df(long_df, _mask(spark, sf_dir))
+    out = rollup_features(masked, tier="hour", feature_names=["turn_count", "mean", "maximum", "minimum"])
+    return finalize(out)
+
+
+def q_unmask_conv_counts(spark, sf_dir):
+    """unmask_df analog: re-expand onto full domain, sentinel-fill."""
+    t = load_turns(spark, sf_dir)
+    masked = mask_df(t, _mask(spark, sf_dir))
+    counts = masked.groupBy("conv_id").agg(F.count("*").cast("double").alias("n_turns"))
+    return finalize(unmask_df(counts, t, ["conv_id"], ["n_turns"]))
+
+
+# --- §2.6: windows ---------------------------------------------------------
+
+def q_panel_lag1(spark, sf_dir):
+    """panel_lag_1 analog (prep.py:705-743): per-(conv,kind) lag-1."""
+    from pyspark.sql.window import Window
+
+    long_df = load_long(spark, sf_dir).where(F.col("kind").isin("text_len", "value"))
+    w = Window.partitionBy("conv_id", "kind").orderBy("turn_idx", "ts")
+    out = long_df.withColumn("value_lag1", F.lag("value", 1).over(w)).where(
+        F.col("value_lag1").isNotNull()
+    )
+    return finalize(out.select("conv_id", "kind", "turn_idx", "value", "value_lag1"))
+
+
+# --- cascade ---------------------------------------------------------------
+
+def q_cascade_hour_from_minute(spark, sf_dir):
+    """Tier algebra: hour tier via minute-tier sufficient statistics.
+    Oracle computes the hour tier directly from raw — equality IS the
+    tier-algebra proof."""
+    long_df = load_long(spark, sf_dir).where(F.col("kind") == "text_len")
+    minute = rollup_simple(long_df, "minute")
+    return finalize(cascade_up(minute, "hour"))
+
+
+def q_cascade_day_from_minute(spark, sf_dir):
+    long_df = load_long(spark, sf_dir).where(F.col("kind").isin("text_len", "latency_s"))
+    minute = rollup_simple(long_df, "minute")
+    return finalize(cascade_up(cascade_up(minute, "hour"), "day"))
+
+
+# --- gap-fill --------------------------------------------------------------
+
+def _hour_points(spark, sf_dir):
+    long_df = load_long(spark, sf_dir).where(F.col("kind") == "text_len")
+    return rollup_simple(
+        long_df, "hour", aggs={"value": F.avg("value")}
+    )
+
+
+def q_gapfill_locf_hour(spark, sf_dir):
+    out = gapfill(_hour_points(spark, sf_dir), "hour", "locf")
+    return finalize(out.select("conv_id", "kind", "bucket_start", "value", F.col("_observed").cast("int").alias("observed")))
+
+
+def q_gapfill_linear_hour(spark, sf_dir):
+    out = gapfill(_hour_points(spark, sf_dir), "hour", "linear")
+    return finalize(out.select("conv_id", "kind", "bucket_start", "value", F.col("_observed").cast("int").alias("observed")))
+
+
+def q_gapfill_sentinel_hour(spark, sf_dir):
+    out = gapfill(_hour_points(spark, sf_dir), "hour", "sentinel")
+    return finalize(out.select("conv_id", "kind", "bucket_start", "value", F.col("_observed").cast("int").alias("observed")))

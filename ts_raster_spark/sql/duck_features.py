@@ -1,0 +1,93 @@
+"""DuckDB-dialect SQL builders mirroring the engine's feature aggregates.
+
+Each builder returns a SELECT over the ``long_panel`` CTE
+(ts_raster_spark/sql/oracle_prefix.py) that reproduces
+:mod:`ts_raster_spark.functions.features` semantics exactly — including
+the pandas zero-variance → 0.0 convention for skew/kurt and the tsfresh
+autocorrelation estimator. Used only by ``__spark_entry__.oracle_sql``;
+the engine itself never runs these.
+"""
+
+from __future__ import annotations
+
+ROUND_N = 4  # double outputs rounded identically on both sides
+
+
+def r(expr: str, name: str) -> str:
+    return f"round(({expr}), {ROUND_N}) AS {name}"
+
+
+# Window-attached helper columns over the rollup keys (mu/sigma/extrema/rn/lags).
+def stats_cte(keys: list[str], src: str = "long_panel") -> str:
+    part = ", ".join(keys)
+    return f"""
+stats AS (
+    SELECT *,
+        avg(value) OVER (PARTITION BY {part}) AS mu,
+        stddev_pop(value) OVER (PARTITION BY {part}) AS sigma,
+        max(value) OVER (PARTITION BY {part}) AS vmax,
+        min(value) OVER (PARTITION BY {part}) AS vmin,
+        row_number() OVER (PARTITION BY {part} ORDER BY turn_idx, ts) AS rn,
+        lag(value, 1) OVER (PARTITION BY {part} ORDER BY turn_idx, ts) AS lag1,
+        lag(value, 2) OVER (PARTITION BY {part} ORDER BY turn_idx, ts) AS lag2
+    FROM {src}
+)
+"""
+
+
+CORE_EXPRS = {
+    "turn_count": "count(value)",
+    "mean": "avg(value)",
+    "maximum": "max(value)",
+    "minimum": "min(value)",
+    "sum_values": "sum(value)",
+    "median": "quantile_cont(value, 0.5)",
+    "variance": "var_pop(value)",
+    "standard_deviation": "stddev_pop(value)",
+    "abs_energy": "sum(value * value)",
+    "root_mean_square": "sqrt(avg(value * value))",
+    "mean_change": (
+        "CASE WHEN count(value) > 1 THEN "
+        "(arg_max(value, turn_idx) - arg_min(value, turn_idx)) / (count(value) - 1) END"
+    ),
+    "count_above_mean": "sum(CASE WHEN value > mu THEN 1 ELSE 0 END)",
+    "count_below_mean": "sum(CASE WHEN value < mu THEN 1 ELSE 0 END)",
+    "quantile_q05": "quantile_cont(value, 0.05)",
+    "quantile_q15": "quantile_cont(value, 0.15)",
+    "quantile_q85": "quantile_cont(value, 0.85)",
+    "quantile_q95": "quantile_cont(value, 0.95)",
+    "skewness": (
+        "CASE WHEN count(value) > 2 THEN "
+        "CASE WHEN var_pop(value) = 0 THEN 0.0 ELSE skewness(value) END END"
+    ),
+    "kurtosis": (
+        "CASE WHEN count(value) > 3 THEN "
+        "CASE WHEN var_pop(value) = 0 THEN 0.0 ELSE kurtosis(value) END END"
+    ),
+    "ratio_beyond_r_sigma_r2": "avg(CASE WHEN abs(value - mu) > 2 * sigma THEN 1.0 ELSE 0.0 END)",
+    "ratio_beyond_r_sigma_r3": "avg(CASE WHEN abs(value - mu) > 3 * sigma THEN 1.0 ELSE 0.0 END)",
+    "large_standard_deviation_r25": "CAST(stddev_pop(value) > 0.25 * (max(value) - min(value)) AS INTEGER)",
+    "mean_abs_change": "avg(abs(value - lag1))",
+    "mean_second_derivative_central": "avg((value - 2 * lag1 + lag2) / 2.0)",
+    "autocorrelation_lag1": (
+        "CASE WHEN count(value) > 1 AND max(sigma) > 0 THEN "
+        "sum(CASE WHEN lag1 IS NOT NULL THEN (value - mu) * (lag1 - mu) END) "
+        "/ ((count(value) - 1) * max(sigma * sigma)) END"
+    ),
+    "last_location_of_maximum": "CAST(max(CASE WHEN value = vmax THEN rn END) AS DOUBLE) / count(value)",
+    "first_location_of_maximum": "CAST(min(CASE WHEN value = vmax THEN rn END) - 1 AS DOUBLE) / count(value)",
+    "last_location_of_minimum": "CAST(max(CASE WHEN value = vmin THEN rn END) AS DOUBLE) / count(value)",
+    "first_location_of_minimum": "CAST(min(CASE WHEN value = vmin THEN rn END) - 1 AS DOUBLE) / count(value)",
+}
+
+INT_FEATURES = {"turn_count", "count_above_mean", "count_below_mean", "large_standard_deviation_r25"}
+
+
+def feature_select(features: list[str], keys: list[str], key_exprs: list[str] | None = None) -> str:
+    """SELECT list: keys + rounded feature expressions, aliased to the
+    exact column names the Spark side produces."""
+    cols = list(key_exprs or keys)
+    for f in features:
+        e = CORE_EXPRS[f]
+        cols.append(f"({e}) AS {f}" if f in INT_FEATURES else r(e, f))
+    return ",\n        ".join(cols)
