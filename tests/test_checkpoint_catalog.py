@@ -1,0 +1,96 @@
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ts_raster_spark.operators.longform import to_long_panel
+from ts_raster_spark.operators.rollup import rollup_simple
+from ts_raster_spark.plans.checkpoint import load_manifest, read_result, run_checkpointed
+from ts_raster_spark.sources.catalog import ParquetTierCatalog
+
+
+def _transform(part):
+    return rollup_simple(to_long_panel(part).where(F.col("kind") == "text_len"), "hour")
+
+
+def test_resume_after_crash(spark, turns_small, tmp_path):
+    """SURVEY.md §5 test 6: kill after k slices, rerun, output equal to
+    single-shot, no duplicates, lineage reconciles."""
+    out_a = str(tmp_path / "ckpt_a")
+    out_b = str(tmp_path / "ckpt_b")
+
+    # single-shot reference
+    run_checkpointed(spark, turns_small, _transform, out_b, n_slices=4)
+    ref = read_result(spark, out_b).orderBy("conv_id", "kind", "bucket_start").toPandas()
+
+    # crashed run: 2 slices then injected failure
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(spark, turns_small, _transform, out_a, n_slices=4, fail_after=2)
+    assert len(load_manifest(out_a)) == 2
+
+    # resume: completes remaining slices only
+    summary = run_checkpointed(spark, turns_small, _transform, out_a, n_slices=4)
+    assert summary["skipped"] == 2 and summary["completed"] == 2
+
+    got = read_result(spark, out_a).orderBy("conv_id", "kind", "bucket_start").toPandas()
+    assert got.equals(ref)
+
+    # lineage: per-slice rows_out sums to the table row count
+    manifest = load_manifest(out_a)
+    assert sum(r["rows_out"] for r in manifest.values()) == len(got)
+    for rec in manifest.values():
+        assert rec["rows_in"] > 0 and rec["wall_s"] >= 0
+
+
+def test_resume_is_noop_when_done(spark, turns_small, tmp_path):
+    out = str(tmp_path / "ckpt_c")
+    run_checkpointed(spark, turns_small, _transform, out, n_slices=3)
+    summary = run_checkpointed(spark, turns_small, _transform, out, n_slices=3)
+    assert summary == {"completed": 0, "skipped": 3, "rows_out": summary["rows_out"]}
+
+
+def test_changed_input_recomputes_slice(spark, turns_small, tmp_path):
+    out = str(tmp_path / "ckpt_d")
+    run_checkpointed(spark, turns_small, _transform, out, n_slices=2)
+    # tamper with manifest fingerprint of slice 0 -> must recompute
+    path = os.path.join(out, "manifest.jsonl")
+    recs = [json.loads(line) for line in open(path)]
+    recs[0]["input_fingerprint"] = "n=0,h=0"
+    with open(path, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    summary = run_checkpointed(spark, turns_small, _transform, out, n_slices=2)
+    assert summary["completed"] == 1 and summary["skipped"] == 1
+
+
+def test_catalog_bucket_layout_and_pruned_lookup(spark, turns_small, tmp_path):
+    cat = ParquetTierCatalog(str(tmp_path / "tiers"), n_buckets=8)
+    hour = _transform(turns_small)
+    cat.write(hour, "rollup_hour")
+
+    back = cat.read(spark, "rollup_hour")
+    assert back.count() == hour.count()
+    # bucket dirs exist
+    dirs = os.listdir(cat.path("rollup_hour"))
+    assert any(d.startswith("bucket_id=") for d in dirs)
+
+    some_conv = hour.select("conv_id").first()["conv_id"]
+    one = cat.read_conv(spark, "rollup_hour", some_conv)
+    assert one.count() > 0
+    assert one.select("conv_id").distinct().count() == 1
+    # partition filter prunes: plan mentions the bucket_id pushdown
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "bucket_id" in plan
+
+
+def test_catalog_idempotent_rewrite(spark, turns_small, tmp_path):
+    cat = ParquetTierCatalog(str(tmp_path / "tiers2"), n_buckets=4)
+    hour = _transform(turns_small)
+    cat.write(hour, "t")
+    n1 = cat.read(spark, "t").count()
+    cat.write(hour, "t")  # rerun: dynamic overwrite, not append
+    n2 = cat.read(spark, "t").count()
+    assert n1 == n2

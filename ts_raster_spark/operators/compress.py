@@ -1,0 +1,87 @@
+"""Compressed rollup blocks: grouped Arrow kernels around Gorilla/DoD.
+
+The at-rest format for raw-resolution series under a retention tier:
+one row per (conv_id, kind, block_start) carrying
+``(n, ts_block binary, val_block binary)`` — the engine analog of the
+reference's multi-band GTiff sink with float32 downcast
+(tsraster/calculate.py:23-55, prep.py:132), upgraded to bit-exact
+lossless blocks.
+
+``compress_blocks`` is a ``groupBy(...).applyInPandas`` grouped-map
+Arrow kernel (one Arrow batch per group, vectorized sort + int64 view,
+loop only over in-block elements). ``decompress_blocks`` inverts it.
+Blocks default to day granularity so a mega-conversation still fits a
+task (the salting discussion in SURVEY.md §4 — a group must fit in one
+task's memory, so the block key includes the time bucket).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ts_raster_spark.compression.gorilla import (
+    decode_timestamps,
+    decode_values,
+    encode_timestamps,
+    encode_values,
+)
+
+BLOCK_SCHEMA = (
+    "conv_id string, kind string, block_start timestamp, "
+    "n long, ts_block binary, val_block binary"
+)
+
+POINT_SCHEMA = "conv_id string, kind string, ts timestamp, value double"
+
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["turn_idx", "ts"]) if "turn_idx" in pdf.columns else pdf.sort_values("ts")
+    ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").view(np.int64)
+    vals = pdf["value"].to_numpy(dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "conv_id": [pdf["conv_id"].iloc[0]],
+            "kind": [pdf["kind"].iloc[0]],
+            "block_start": [pdf["block_start"].iloc[0]],
+            "n": [len(pdf)],
+            "ts_block": [encode_timestamps(ts_us)],
+            "val_block": [encode_values(vals)],
+        }
+    )
+
+
+def compress_blocks(long_df: DataFrame, block: str = "day") -> DataFrame:
+    """long panel (conv_id, turn_idx, ts, kind, value) → Gorilla blocks."""
+    keyed = long_df.withColumn("block_start", F.date_trunc(block, F.col("ts")))
+    return keyed.groupBy("conv_id", "kind", "block_start").applyInPandas(
+        _encode_group, schema=BLOCK_SCHEMA
+    )
+
+
+def _decode_batches(batches):
+    for pdf in batches:
+        frames = []
+        for row in pdf.itertuples(index=False):
+            ts = decode_timestamps(bytes(row.ts_block)).view("datetime64[us]")
+            vals = decode_values(bytes(row.val_block))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": row.conv_id,
+                        "kind": row.kind,
+                        "ts": ts,
+                        "value": vals,
+                    }
+                )
+            )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+
+def decompress_blocks(blocks: DataFrame) -> DataFrame:
+    """Gorilla blocks → points. ``mapInPandas`` streams Arrow batches of
+    whole blocks; no shuffle needed (blocks are self-contained)."""
+    return blocks.mapInPandas(_decode_batches, schema=POINT_SCHEMA)

@@ -1,0 +1,69 @@
+"""Table-IO shim: Iceberg-style bucketed tier tables on plain parquet.
+
+The design target is Iceberg with a ``bucket(N, conv_id)`` partition
+spec and MERGE-based idempotent tier writes (BASELINE.json north_rule).
+No Iceberg runtime jar ships in this sandbox, so this shim reproduces
+the *layout semantics* on parquet while keeping the API stable: swap
+``ParquetTierCatalog`` for an Iceberg catalog and nothing upstream
+changes.
+
+- ``bucket_id = pmod(xxhash64(conv_id), n_buckets)`` is the analog of
+  Iceberg's bucket transform: co-locates each conversation's rows,
+  enables bucket-pruned point lookups, and gives every tier table the
+  same join-friendly clustering.
+- writes use dynamic partition overwrite per bucket — re-running a
+  job replaces exactly the buckets it produced (idempotent, the MERGE
+  stand-in keyed on (conv_id, kind, bucket_start) at file granularity).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetTierCatalog:
+    def __init__(self, root: str, n_buckets: int = 16):
+        self.root = root
+        self.n_buckets = n_buckets
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket_id", F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).cast("int")
+        )
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+        """Write a tier table bucketed by conv_id.
+
+        ``mode='overwrite'`` with dynamic partition overwrite replaces
+        only the buckets present in ``df`` — the idempotent-MERGE
+        stand-in (a resumed job rewrites its own buckets byte-identically
+        instead of double-appending).
+        """
+        spark = df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            self.with_bucket(df)
+            .repartition("bucket_id")
+            .sortWithinPartitions("conv_id", "kind")
+            .write.mode(mode)
+            .partitionBy("bucket_id")
+            .parquet(self.path(table))
+        )
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.path(table)).drop("bucket_id")
+
+    def read_conv(self, spark: SparkSession, table: str, conv_id: str) -> DataFrame:
+        """Bucket-pruned point lookup: only 1/n_buckets of files scanned
+        (the partition filter on bucket_id prunes at planning time)."""
+        df = spark.read.parquet(self.path(table))
+        bucket = df.sparkSession.range(1).select(
+            F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(self.n_buckets)).cast("int").alias("b")
+        ).first()["b"]
+        return df.where((F.col("bucket_id") == bucket) & (F.col("conv_id") == conv_id)).drop("bucket_id")
