@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ts_raster_spark import queries as Q
+from ts_raster_spark.sql import duck_docs as DD
 from ts_raster_spark.sql.duck_features import feature_select, stats_cte
 from ts_raster_spark.sql.oracle_prefix import LONG_CTE, TURNS_CTE
 
@@ -60,6 +61,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf_hour": Q.q_gapfill_locf_hour,
         "gapfill_linear_hour": Q.q_gapfill_linear_hour,
         "gapfill_sentinel_hour": Q.q_gapfill_sentinel_hour,
+        # documents / embeddings: training-data pipeline ops
+        "dedup_exact": Q.q_dedup_exact,
+        "dedup_ngram_jaccard": Q.q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
+        "dedup_simhash": Q.q_dedup_simhash,
+        "ann_topk_cosine": Q.q_ann_topk_cosine,
+        "ann_signlsh": Q.q_ann_signlsh,
+        "lang_id": Q.q_lang_id,
+        "token_stats": Q.q_token_stats,
+        "quality_score": Q.q_quality_score,
+        "fingerprint": Q.q_fingerprint,
     }
 
 
@@ -285,4 +297,14 @@ GROUP BY conv_id, kind, date_trunc('day', ts)
         "gapfill_locf_hour": _gapfill_sql("locf"),
         "gapfill_linear_hour": _gapfill_sql("linear"),
         "gapfill_sentinel_hour": _gapfill_sql("sentinel"),
+        "dedup_exact": DD.exact_dedup_sql(),
+        "dedup_ngram_jaccard": DD.jaccard_sql(0.8),
+        "dedup_minhash_lsh": DD.minhash_lsh_sql(8, 2),
+        "dedup_simhash": DD.simhash16_sql(),
+        "ann_topk_cosine": DD.cosine_topk_sql(Q.ANN_QUERY_IDS, 5),
+        "ann_signlsh": DD.signlsh_topk_sql(Q.ANN_QUERY_IDS, 3),
+        "lang_id": DD.lang_id_sql(),
+        "token_stats": DD.token_stats_sql(),
+        "quality_score": DD.quality_sql(),
+        "fingerprint": DD.fingerprint_sql(),
     }

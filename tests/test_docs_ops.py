@@ -1,0 +1,106 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_jaccard_finds_planted_near_dups(spark, docs):
+    from ts_raster_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).toPandas()
+    assert len(pairs) > 0
+    assert (pairs["jaccard"] >= 0.8).all()
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH candidates must contain every very-high-J pair (J>=0.9 with
+    8 hashes / bands of 2 → P(candidate) ≈ 1-(1-0.9²)⁴ ≈ 0.999)."""
+    from ts_raster_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    cand = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert exact, "fixture should contain planted near-dups"
+    missed = exact - cand
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {missed}"
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    from ts_raster_spark.operators.dedup import ngram_jaccard_pairs, simhash16
+
+    sim = {r.doc_id: r.simhash16 for r in simhash16(docs).collect()}
+    near = ngram_jaccard_pairs(docs, threshold=0.95).collect()
+    if near:
+        hd = [bin(sim[r.doc_a] ^ sim[r.doc_b]).count("1") for r in near]
+        assert sum(hd) / len(hd) <= 4, hd
+
+
+def test_ann_bruteforce_sane(spark, emb):
+    from ts_raster_spark.operators.similarity import cosine_topk_bruteforce
+
+    out = cosine_topk_bruteforce(emb, [0, 1, 2], k=5).toPandas()
+    assert set(out["query_id"]) == {0, 1, 2}
+    for q in (0, 1, 2):
+        sub = out[out.query_id == q].sort_values("rank")
+        assert list(sub["rank"]) == [1, 2, 3, 4, 5]
+        assert (sub["cosine"].diff().dropna() <= 0).all()
+        assert (sub["cosine"].abs() <= 1.0 + 1e-9).all()
+
+
+def test_ann_signlsh_subset_of_bucket(spark, emb):
+    from ts_raster_spark.operators.similarity import sign_bucket, signlsh_topk
+
+    out = signlsh_topk(emb, [0, 1], k=3).toPandas()
+    buckets = {r.vec_id: r.bucket for r in sign_bucket(emb).collect()}
+    for r in out.itertuples():
+        assert buckets[r.query_id] == buckets[r.neighbor_id]
+
+
+def test_lang_id_mostly_right_on_latin(spark, docs):
+    from ts_raster_spark.operators.textstats import lang_id
+
+    got = lang_id(docs).join(docs.select("doc_id", "lang"), "doc_id").toPandas()
+    latin = got[got["lang"].isin(["en"])]
+    acc = (latin["lang_pred"] == latin["lang"]).mean()
+    assert acc > 0.7, acc
+
+
+def test_multimodal_pipeline(spark):
+    from ts_raster_spark.operators.multimodal import (
+        extract_media_features,
+        frame_sample,
+        gen_media,
+    )
+
+    media = gen_media(spark, n=30)
+    feats = extract_media_features(media).toPandas()
+    assert len(feats) == 30
+    assert (feats["n_bytes"] > 0).all()
+    assert feats["sha256"].str.len().eq(64).all()
+    assert feats["mean_intensity"].between(0, 255).all()
+    # deterministic: second run identical
+    feats2 = extract_media_features(media).toPandas()
+    assert feats.sort_values("media_id").reset_index(drop=True).equals(
+        feats2.sort_values("media_id").reset_index(drop=True)
+    )
+
+    frames = frame_sample(media, every_s=5.0).toPandas()
+    assert (frames["frame_ts_s"] % 5.0 == 0).all()
+
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_media_features(media, strict_decode=True).collect()

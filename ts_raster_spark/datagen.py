@@ -64,13 +64,14 @@ def gen_turns(
         "conv_no",
         F.explode(F.sequence(F.lit(0), (F.col("n_turns") - 1).cast("int"))).alias("turn_idx"),
     )
-    # Seeded start offset (0..30 days, seconds) + per-turn gap (1..2700 s).
-    # Gap-injection: every turn whose hash says so jumps 2-6 hours, leaving
+    # Seeded start offset (0..30 days, seconds) + per-turn gap: mostly
+    # conversational cadence (1..60 s), with ~1/13 of turns jumping
+    # 10..45 min — the FIXTURES.md F1 "1 s – 45 min" envelope, leaving
     # empty minute buckets between turns for the gap-fill fixtures.
-    gap = 1 + _h(F.col("conv_no"), F.col("turn_idx"), F.lit("gap"), s) % 2700
+    gap = 1 + _h(F.col("conv_no"), F.col("turn_idx"), F.lit("gap"), s) % 60
     jump = F.when(
         _h(F.col("conv_no"), F.col("turn_idx"), F.lit("jump"), s) % 13 == 0,
-        7200 + _h(F.col("conv_no"), F.col("turn_idx"), F.lit("jsz"), s) % 14400,
+        600 + _h(F.col("conv_no"), F.col("turn_idx"), F.lit("jsz"), s) % 2100,
     ).otherwise(F.lit(0))
     start = _h(F.col("conv_no"), F.lit("start"), s) % (30 * 86400)
     roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool"))

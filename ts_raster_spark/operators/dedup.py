@@ -1,0 +1,143 @@
+"""Deduplication suite over the ``documents`` table.
+
+Beyond-reference capability (task brief: large-scale training-data
+pipeline ops). Every variant is deterministic and cross-engine
+reproducible — hashing is md5-over-strings so the DuckDB oracle can
+replay it bit-for-bit:
+
+- exact        — md5(text) group key (hash-groupBy)
+- ngram Jaccard— word 3-gram shingle sets, exact pairwise J via a
+                 shingle-inverted-index self-join (the classic
+                 shingle→doc explode, join on shingle, count
+                 intersections — no O(n²) cross join)
+- MinHash+LSH  — k=8 signatures = min md5("i:"+shingle); bands of 2
+                 rows → 4 band keys; candidate pairs share a band
+                 bucket (banding theory from Broder / MMDS, public)
+- SimHash      — 16-bit sign-aggregated token hash (Charikar, public)
+
+Scale notes: the shingle join shuffles on the shingle key — high
+cardinality, naturally balanced; stop-shingle skew (a shingle shared by
+thousands of docs) is bounded by dropping shingles with document
+frequency above ``max_df`` (standard practice). LSH band join groups by
+band key — the whole point is that buckets are small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKENIZE = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+SHINGLES = (
+    "transform(sequence(0, size(tokens) - 3), "
+    "i -> concat_ws(' ', element_at(tokens, i + 1), element_at(tokens, i + 2), element_at(tokens, i + 3)))"
+)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """One row per content hash: group size + canonical (min) doc_id."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct pairs; docs shorter than 3 tokens drop."""
+    return (
+        docs.withColumn("tokens", F.expr(TOKENIZE))
+        .where(F.size("tokens") >= 3)
+        .withColumn("shingle", F.explode(F.expr(SHINGLES)))
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, max_df: int | None = None) -> DataFrame:
+    """Exact Jaccard over 3-gram shingle sets for every pair sharing ≥1
+    shingle. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    sh = doc_shingles(docs)
+    if max_df:
+        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_df).select("shingle")
+        sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("double").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, k: int = 8) -> DataFrame:
+    """k MinHash signature columns mh0..mh{k-1}: min over shingles of
+    md5(f"{i}:{shingle}") — lexicographic min over hex, identical in any
+    engine with md5."""
+    sh = doc_shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 8, band_size: int = 2) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash: docs sharing any
+    band bucket. Output distinct (doc_a, doc_b), doc_a < doc_b."""
+    sig = minhash_signatures(docs, k)
+    n_bands = k // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            sig.select("doc_id", F.md5(F.concat_ws("|", *cols)).alias("band_key"), F.lit(b).alias("band"))
+        )
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+    a = all_bands.alias("a")
+    b_ = all_bands.alias("b")
+    return (
+        a.join(b_, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash from the first 4 hex digits of md5(token), summed
+    with multiplicity. Output: (doc_id, simhash16 int)."""
+    toks = (
+        docs.withColumn("tokens", F.expr(TOKENIZE))
+        .where(F.size("tokens") >= 1)
+        .withColumn("token", F.explode("tokens"))
+        .select("doc_id", F.md5("token").alias("h"))
+    )
+    bit_scores = []
+    for j in range(16):
+        k = j // 4 + 1  # hex digit 1..4
+        shift = 3 - (j % 4)
+        hexval = F.expr(f"cast(conv(substring(h, {k}, 1), 16, 10) as int)")
+        bit = F.floor(hexval / (2**shift)) % 2
+        bit_scores.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    scored = toks.groupBy("doc_id").agg(*bit_scores)
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return scored.select("doc_id", sim.cast("int").alias("simhash16"))

@@ -37,26 +37,52 @@ def epoch_seconds(col) -> F.Column:
     return col.cast("timestamp_ltz").cast("double")
 
 
-def with_channels(turns: DataFrame) -> DataFrame:
+def with_channels(turns: DataFrame, dense_turn_idx: bool = True) -> DataFrame:
     """Add the derived numeric channel columns to a turns DataFrame.
 
     ``latency_s`` is µs-exact: timestamps cast to double epoch seconds
     (microseconds are exactly representable in double for modern epochs).
+
+    Skew note (SURVEY.md §4): a per-conversation window puts a
+    mega-conversation into ONE task — the lone straggler that caps
+    scaling. With the schema's dense-``turn_idx`` contract (FIXTURES.md
+    F1) the predecessor is addressable, so latency becomes a self
+    equi-join on ``(conv_id, turn_idx)``: the join key includes turn_idx,
+    every conversation spreads across all partitions, and AQE skew-join
+    splitting applies. ``dense_turn_idx=False`` falls back to the window
+    for inputs without the density guarantee.
     """
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
     df = turns
     if "value" not in df.columns:
         df = df.withColumn("value", F.lit(None).cast("double"))
-    return (
-        df.withColumn("text_len", F.length("text").cast("double"))
-        .withColumn(
-            "latency_s",
-            epoch_seconds(F.col("ts")) - F.lag(epoch_seconds(F.col("ts"))).over(w),
-        )
-        .withColumn("is_tool", F.col("tool").isNotNull().cast("double"))
-        .withColumn("role_user", (F.col("role") == "user").cast("double"))
-        .withColumn("role_assistant", (F.col("role") == "assistant").cast("double"))
+    # Project to the narrow channel frame FIRST: downstream exchanges
+    # ship ~40 bytes/row instead of the text payload (at 100 TB the text
+    # column dominates raw bytes; only its length leaves the scan).
+    narrow = df.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "value",
+        F.length("text").cast("double").alias("text_len"),
+        F.col("tool").isNotNull().cast("double").alias("is_tool"),
+        (F.col("role") == "user").cast("double").alias("role_user"),
+        (F.col("role") == "assistant").cast("double").alias("role_assistant"),
+        epoch_seconds(F.col("ts")).alias("_epoch"),
     )
+    if dense_turn_idx:
+        prev = narrow.select(
+            "conv_id",
+            (F.col("turn_idx") + 1).alias("turn_idx"),
+            F.col("_epoch").alias("_prev_epoch"),
+        )
+        out = narrow.join(prev, ["conv_id", "turn_idx"], "left").withColumn(
+            "latency_s", F.col("_epoch") - F.col("_prev_epoch")
+        )
+        return out.drop("_epoch", "_prev_epoch")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    return narrow.withColumn(
+        "latency_s", F.col("_epoch") - F.lag("_epoch").over(w)
+    ).drop("_epoch")
 
 
 def to_long_panel(turns: DataFrame, channels: tuple[str, ...] = CHANNELS) -> DataFrame:
@@ -80,3 +106,11 @@ def to_long_panel(turns: DataFrame, channels: tuple[str, ...] = CHANNELS) -> Dat
         stacked.where(F.col("value_out").isNotNull())
         .withColumnRenamed("value_out", "value")
     )
+
+
+def to_long_panel_window(turns, channels=CHANNELS):
+    wide = with_channels(turns, dense_turn_idx=False)
+    chan_cols = [c for c in channels if c != "value"] + (["value"] if "value" in channels else [])
+    pairs = ", ".join(f"'{c}', {'value' if c == 'value' else c}" for c in chan_cols)
+    stacked = wide.selectExpr("conv_id", "turn_idx", "ts", f"stack({len(chan_cols)}, {pairs}) AS (kind, value_out)")
+    return stacked.where(F.col("value_out").isNotNull()).withColumnRenamed("value_out", "value")

@@ -1,0 +1,76 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+- :func:`cosine_topk_bruteforce` — exact top-k neighbors via a
+  broadcast join of the (small) query set against all vectors; the dot
+  product runs JVM-side with ``zip_with``/``aggregate`` higher-order
+  functions (no Python in the loop). The 100 TB shape: queries
+  broadcast, corpus scanned once, per-partition top-k via window.
+- :func:`signlsh_topk` — the scale path: bucket vectors by the sign
+  pattern of their first ``n_planes`` coordinates (axis-aligned sign
+  LSH — deterministic and oracle-reproducible; swap the plane set for
+  seeded Gaussians in production), then search only within the bucket.
+
+Cosines are rounded to 4 decimals *before* ranking so ranking ties are
+broken identically (by vec_id) in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DOT = "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
+NORM = "sqrt(aggregate({c}, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+
+
+def _with_cosine(pairs: DataFrame) -> DataFrame:
+    return pairs.withColumn(
+        "cosine",
+        F.round(
+            F.expr(DOT) / (F.expr(NORM.format(c="a")) * F.expr(NORM.format(c="b"))), 4
+        ),
+    )
+
+
+def cosine_topk_bruteforce(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector."""
+    q = emb.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("a")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b"))
+    pairs = F.broadcast(q).crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = _with_cosine(pairs)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def sign_bucket(emb: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Bucket id from the sign bits of the first n_planes coordinates."""
+    expr = " + ".join(
+        f"CASE WHEN cast(element_at(embedding, {i + 1}) as double) >= 0 THEN {2**i} ELSE 0 END"
+        for i in range(n_planes)
+    )
+    return emb.withColumn("bucket", F.expr(expr).cast("int"))
+
+
+def signlsh_topk(emb: DataFrame, query_ids: list[int], k: int = 3, n_planes: int = 8) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket (then exact cosine within the bucket)."""
+    b = sign_bucket(emb, n_planes)
+    q = b.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("a"), "bucket"
+    )
+    c = b.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b"), "bucket")
+    pairs = F.broadcast(q).join(c, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = _with_cosine(pairs)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

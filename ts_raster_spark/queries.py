@@ -213,3 +213,76 @@ def q_gapfill_linear_hour(spark, sf_dir):
 def q_gapfill_sentinel_hour(spark, sf_dir):
     out = gapfill(_hour_points(spark, sf_dir), "hour", "sentinel")
     return finalize(out.select("conv_id", "kind", "bucket_start", "value", F.col("_observed").cast("int").alias("observed")))
+
+
+# --- documents / embeddings: training-data pipeline ops ---------------------
+
+ANN_QUERY_IDS = list(range(20))
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from ts_raster_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from ts_raster_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from ts_raster_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), k=8, band_size=2)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from ts_raster_spark.operators.dedup import simhash16
+
+    return simhash16(_docs(spark, sf_dir))
+
+
+def q_ann_topk_cosine(spark, sf_dir):
+    from ts_raster_spark.operators.similarity import cosine_topk_bruteforce
+
+    return cosine_topk_bruteforce(_emb(spark, sf_dir), ANN_QUERY_IDS, k=5)
+
+
+def q_ann_signlsh(spark, sf_dir):
+    from ts_raster_spark.operators.similarity import signlsh_topk
+
+    return signlsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=3)
+
+
+def q_lang_id(spark, sf_dir):
+    from ts_raster_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    from ts_raster_spark.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    from ts_raster_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from ts_raster_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))

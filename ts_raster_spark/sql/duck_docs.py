@@ -1,0 +1,203 @@
+"""DuckDB-dialect oracles for the documents/embeddings operator suite.
+
+Mirrors ts_raster_spark.operators.{dedup,similarity,textstats} exactly
+(same md5 hashing, same tokenization, same rounding)."""
+
+from __future__ import annotations
+
+from ts_raster_spark.operators.textstats import LANG_MARKERS
+
+TOKS_CTE = """
+toks AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tokens
+    FROM documents
+)"""
+
+DSH_CTE = TOKS_CTE + """,
+sh AS (
+    SELECT doc_id,
+        unnest(list_transform(range(1, len(tokens) - 1),
+               j -> tokens[j] || ' ' || tokens[j+1] || ' ' || tokens[j+2])) AS shingle
+    FROM toks WHERE len(tokens) >= 3
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)"""
+
+
+def exact_dedup_sql() -> str:
+    return """
+SELECT md5(text) AS content_md5, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def jaccard_sql(threshold: float) -> str:
+    return f"""WITH {DSH_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS i
+    FROM dsh a JOIN dsh b USING (shingle)
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i / (sa.sz + sb.sz - i) >= {threshold}
+"""
+
+
+def minhash_lsh_sql(k: int = 8, band_size: int = 2) -> str:
+    mh = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(k)
+    )
+    n_bands = k // band_size
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS band_key FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""WITH {DSH_CTE},
+sig AS (SELECT doc_id, {mh} FROM dsh GROUP BY doc_id),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def simhash16_sql() -> str:
+    scores = []
+    for j in range(16):
+        k = j // 4 + 1
+        shift = 3 - (j % 4)
+        hexval = f"(strpos('0123456789abcdef', substr(h, {k}, 1)) - 1)"
+        bit = f"(CAST(floor({hexval} / {2**shift}) AS INTEGER) % 2)"
+        scores.append(f"sum({bit} * 2 - 1) AS s{j}")
+    sim = " + ".join(f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))
+    return f"""WITH {TOKS_CTE},
+tok AS (
+    SELECT doc_id, md5(unnest(tokens)) AS h FROM toks WHERE len(tokens) >= 1
+),
+scored AS (SELECT doc_id, {", ".join(scores)} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({sim} AS INTEGER) AS simhash16 FROM scored
+"""
+
+
+_DOT = "list_sum(list_transform(range(1, len(a) + 1), i -> a[i]::DOUBLE * b[i]::DOUBLE))"
+_NORM = "sqrt(list_sum(list_transform({c}, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+def cosine_topk_sql(query_ids: list[int], k: int) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""WITH q AS (
+    SELECT vec_id AS query_id, embedding AS a FROM embeddings WHERE vec_id IN ({ids})
+),
+pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+        round({_DOT} / ({_NORM.format(c='a')} * {_NORM.format(c='b')}), 4) AS cosine
+    FROM q, (SELECT vec_id, embedding AS b FROM embeddings) e
+    WHERE q.query_id != e.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def signlsh_topk_sql(query_ids: list[int], k: int, n_planes: int = 8) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    bucket = " + ".join(
+        f"CASE WHEN embedding[{i + 1}]::DOUBLE >= 0 THEN {2**i} ELSE 0 END"
+        for i in range(n_planes)
+    )
+    return f"""WITH bk AS (
+    SELECT vec_id, embedding, CAST({bucket} AS INTEGER) AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS a, bucket FROM bk WHERE vec_id IN ({ids})),
+pairs AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+        round({_DOT} / ({_NORM.format(c='a')} * {_NORM.format(c='b')}), 4) AS cosine
+    FROM q JOIN (SELECT vec_id, embedding AS b, bucket FROM bk) c USING (bucket)
+    WHERE q.query_id != c.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _occ(needle: str, col: str = "low") -> str:
+    pat = f" {needle} "
+    return f"((length({col}) - length(replace({col}, '{pat}', ''))) / {len(pat)})"
+
+
+def lang_id_sql(min_score: float = 1.0) -> str:
+    score_cols = []
+    for lang, words in LANG_MARKERS.items():
+        expr = " + ".join(_occ(w) for w in words)
+        score_cols.append(f"CAST({expr} AS DOUBLE) AS score_{lang}")
+    langs = list(LANG_MARKERS)
+    best = f"greatest({', '.join(f'score_{lg}' for lg in langs)})"
+    pred = "'unknown'"
+    for lg in reversed(langs):
+        pred = f"CASE WHEN score_{lg} = {best} THEN '{lg}' ELSE {pred} END"
+    return f"""WITH base AS (
+    SELECT doc_id, ' ' || lower(text) || ' ' AS low FROM documents
+),
+scored AS (SELECT doc_id, {", ".join(score_cols)} FROM base)
+SELECT doc_id,
+    CASE WHEN {best} >= {min_score} THEN {pred} ELSE 'unknown' END AS lang_pred,
+    round({best}, 4) AS lang_score
+FROM scored
+"""
+
+
+def token_stats_sql() -> str:
+    return """
+SELECT doc_id,
+    length(text) AS n_chars_measured,
+    len(list_filter(string_split_regex(trim(text), '[ ]+'), x -> x != '')) AS n_ws_tokens,
+    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS n_words,
+    CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+FROM documents
+"""
+
+
+def quality_sql() -> str:
+    stop = " + ".join(_occ(w) for w in ["the", "and", "of", "a"])
+    return f"""WITH t AS (
+    SELECT doc_id,
+        length(text) AS n_chars_measured,
+        len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS n_words,
+        ' ' || lower(text) || ' ' AS low
+    FROM documents
+),
+c AS (
+    SELECT doc_id,
+        ({stop}) / greatest(n_words, 1) AS stop_ratio,
+        n_chars_measured::DOUBLE / greatest(n_words, 1) AS mwl,
+        n_words
+    FROM t
+)
+SELECT doc_id,
+    round(
+        CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END * 0.4
+        + least(stop_ratio * 5, 1.0) * 0.3
+        + CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.0 END * 0.3, 4) AS quality,
+    round(stop_ratio, 4) AS stopword_ratio,
+    round(mwl, 4) AS mean_word_len
+FROM c
+"""
+
+
+def fingerprint_sql() -> str:
+    return """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint
+FROM documents
+"""
