@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ts_raster_spark import queries as Q
+from ts_raster_spark.operators.ml_prep import frac_hex
 from ts_raster_spark.sql import duck_docs as DD
 from ts_raster_spark.sql.duck_features import feature_select, stats_cte
 from ts_raster_spark.sql.oracle_prefix import LONG_CTE, TURNS_CTE
@@ -72,6 +73,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": Q.q_token_stats,
         "quality_score": Q.q_quality_score,
         "fingerprint": Q.q_fingerprint,
+        # ML-prep tail (sample/split/scale/relevance/combine)
+        "sample_turns": Q.q_sample_turns,
+        "train_test_split": Q.q_train_test_split,
+        "minmax_scale": Q.q_minmax_scale,
+        "feature_relevance": Q.q_feature_relevance,
+        "combine_periods": Q.q_combine_periods,
+        "balanced_panel_check": Q.q_balanced_panel_check,
     }
 
 
@@ -297,6 +305,68 @@ GROUP BY conv_id, kind, date_trunc('day', ts)
         "gapfill_locf_hour": _gapfill_sql("locf"),
         "gapfill_linear_hour": _gapfill_sql("linear"),
         "gapfill_sentinel_hour": _gapfill_sql("sentinel"),
+        "sample_turns": f"""{TURNS_CTE}
+SELECT conv_id, turn_idx, role, strftime(ts, '{TS_FMT_US}') AS ts
+FROM turns
+WHERE substr(md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)), 1, 8) < '{frac_hex(0.1)}'
+""",
+        "train_test_split": f"""{TURNS_CTE}
+SELECT conv_id,
+    CASE WHEN substr(md5(conv_id), 1, 8) < '{frac_hex(0.33)}' THEN 'test' ELSE 'train' END AS split
+FROM (SELECT DISTINCT conv_id FROM turns)
+""",
+        "minmax_scale": f"""{TURNS_CTE},
+xy AS (
+    SELECT conv_id, CAST(count(*) AS DOUBLE) AS n_turns, avg(length(text)) AS mean_text_len
+    FROM turns GROUP BY conv_id
+),
+b AS (
+    SELECT min(n_turns) AS mn1, max(n_turns) AS mx1,
+           min(mean_text_len) AS mn2, max(mean_text_len) AS mx2 FROM xy
+)
+SELECT conv_id, round(n_turns, 4) AS n_turns, round(mean_text_len, 4) AS mean_text_len,
+    round(CASE WHEN mx1 > mn1 THEN (n_turns - mn1) / (mx1 - mn1) ELSE 0.0 END, 4) AS n_turns_scaled,
+    round(CASE WHEN mx2 > mn2 THEN (mean_text_len - mn2) / (mx2 - mn2) ELSE 0.0 END, 4) AS mean_text_len_scaled
+FROM xy, b
+""",
+        "feature_relevance": f"""{TURNS_CTE},
+xy AS (
+    SELECT conv_id, CAST(count(*) AS DOUBLE) AS n_turns, avg(length(text)) AS mean_text_len,
+        avg(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END) AS tool_share,
+        CAST(max(length(text)) AS DOUBLE) AS max_text_len, avg(value) AS y
+    FROM turns GROUP BY conv_id
+)
+"""
+        + "\nUNION ALL\n".join(
+            f"SELECT '{c}' AS feature, round(corr({c}, y), 4) AS pearson_r, "
+            f"round(abs(corr({c}, y)), 4) AS abs_r, "
+            f"CASE WHEN abs(corr({c}, y)) >= 0.1 THEN 1 ELSE 0 END AS relevant FROM xy"
+            for c in ["n_turns", "mean_text_len", "tool_share", "max_text_len"]
+        ),
+        "combine_periods": f"""{TURNS_CTE},
+p1 AS (
+    SELECT conv_id, count(*) AS turn_count, round(avg(length(text)), 4) AS mean_text_len
+    FROM turns WHERE ts < TIMESTAMP '2024-01-16' GROUP BY conv_id
+),
+p2 AS (
+    SELECT conv_id, count(*) AS turn_count, round(avg(length(text)), 4) AS mean_text_len
+    FROM turns WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY conv_id
+)
+SELECT coalesce(p1.conv_id, p2.conv_id) AS conv_id,
+    p1.turn_count AS turn_count_p1, p1.mean_text_len AS mean_text_len_p1,
+    p2.turn_count AS turn_count_p2, p2.mean_text_len AS mean_text_len_p2
+FROM p1 FULL OUTER JOIN p2 ON p1.conv_id = p2.conv_id
+""",
+        "balanced_panel_check": f"""{LONG_CTE},
+counts AS (
+    SELECT conv_id, kind, count(DISTINCT date_trunc('day', ts)) AS n_buckets
+    FROM long_panel WHERE kind IN ('text_len', 'is_tool') GROUP BY 1, 2
+)
+SELECT conv_id, kind, n_buckets,
+    max(n_buckets) OVER () AS panel_max,
+    CASE WHEN n_buckets = max(n_buckets) OVER () THEN 1 ELSE 0 END AS balanced
+FROM counts
+""",
         "dedup_exact": DD.exact_dedup_sql(),
         "dedup_ngram_jaccard": DD.jaccard_sql(0.8),
         "dedup_minhash_lsh": DD.minhash_lsh_sql(8, 2),

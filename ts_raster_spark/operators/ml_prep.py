@@ -1,0 +1,129 @@
+"""ML-prep tail: sampling, splits, scaling, label assembly, relevance.
+
+Reference analogs (tsraster):
+- ``sample.py:26-160``  random point sampling        → :func:`hash_sample`
+- ``model.py:59-76``    seeded train/test split      → :func:`hash_split`
+- ``model.py:50-53``    MinMax scaling               → :func:`minmax_scale`
+- ``model.py:15-47``    yX assembly (inner join)     → :func:`assemble_xy`
+- ``calculate.py:366-423`` checkRelevance (per-feature tests + FDR)
+                        → :func:`feature_relevance` (native ``corr`` per
+                          feature + |r| ranking; the tsfresh FDR
+                          machinery is replaced by a rank/threshold —
+                          hypothesis-test parity is out of gate scope)
+- ``prep.py:553-611``   combine_extracted_features   → :func:`combine_periods`
+
+Determinism contract: anywhere the reference uses a seeded RNG
+(``random_state=42``), the engine uses **content hashing** (md5 of the
+key) so the result is engine-independent and the DuckDB oracle replays
+it exactly — at cluster scale a hash split is also reproducible across
+retries, which ``rand()`` is not.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frac_hex(fraction: float) -> str:
+    """8-hex-digit threshold: compare ``substring(md5(key),1,8)`` as a
+    STRING against this — lexicographic order over fixed-width lowercase
+    hex equals numeric order, so any engine with md5 reproduces the
+    sample bit-for-bit (no float, no RNG)."""
+    return format(min(int(fraction * 16**8), 16**8 - 1), "08x")
+
+
+def hash_bucket(df: DataFrame, cols: list[str], out: str = "_h8") -> DataFrame:
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    return df.withColumn(out, F.substring(F.md5(key), 1, 8))
+
+
+def hash_sample(df: DataFrame, cols: list[str], fraction: float) -> DataFrame:
+    """Deterministic content-hash sample (``TABLESAMPLE`` analog that is
+    reproducible across engines, retries and cluster sizes)."""
+    return hash_bucket(df, cols).where(F.col("_h8") < frac_hex(fraction)).drop("_h8")
+
+
+def hash_split(df: DataFrame, cols: list[str], test_frac: float = 0.33) -> DataFrame:
+    """Train/test label column (model.py:64's 0.67/0.33 contract)."""
+    return (
+        hash_bucket(df, cols)
+        .withColumn(
+            "split",
+            F.when(F.col("_h8") < frac_hex(test_frac), F.lit("test")).otherwise(F.lit("train")),
+        )
+        .drop("_h8")
+    )
+
+
+def minmax_scale(df: DataFrame, value_cols: list[str], keys: list[str] | None = None) -> DataFrame:
+    """(x - min) / (max - min) over the whole frame (model.py:50-53).
+    Computed via a single global agg broadcast back — no window, no
+    per-row shuffle at scale."""
+    aggs = []
+    for c in value_cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    bounds = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(bounds))
+    for c in value_cols:
+        rng = F.col(f"_max_{c}") - F.col(f"_min_{c}")
+        out = out.withColumn(
+            f"{c}_scaled",
+            F.when(rng > 0, (F.col(c) - F.col(f"_min_{c}")) / rng).otherwise(F.lit(0.0)),
+        )
+    drop = [f"_min_{c}" for c in value_cols] + [f"_max_{c}" for c in value_cols]
+    return out.drop(*drop)
+
+
+def assemble_xy(features: DataFrame, target: DataFrame, on: str = "conv_id") -> DataFrame:
+    """Inner-join features with the label frame (model.py:32-35)."""
+    return features.join(target, on, "inner")
+
+
+def feature_relevance(xy: DataFrame, target_col: str, feature_cols: list[str], top_n: int | None = None) -> DataFrame:
+    """Per-feature Pearson correlation with the target, ranked by |r|
+    (the checkRelevance analog: one cheap native agg pass computes every
+    feature's statistic — no per-feature job)."""
+    # ANSI-safe Pearson r: Spark 4's corr() raises DIVIDE_BY_ZERO on a
+    # constant column; try_divide yields NULL there (DuckDB corr parity).
+    aggs = [
+        F.expr(
+            f"try_divide(covar_samp({c}, {target_col}), "
+            f"stddev_samp({c}) * stddev_samp({target_col}))"
+        ).alias(c)
+        for c in feature_cols
+    ]
+    row = xy.agg(*aggs)
+    stacked = row.selectExpr(
+        f"stack({len(feature_cols)}, "
+        + ", ".join(f"'{c}', {c}" for c in feature_cols)
+        + ") AS (feature, pearson_r)"
+    )
+    out = (
+        stacked.withColumn("abs_r", F.abs(F.col("pearson_r")))
+        .withColumn(
+            "relevant",
+            F.coalesce((F.abs(F.col("pearson_r")) >= 0.1).cast("int"), F.lit(0)),
+        )
+        .select("feature", F.round("pearson_r", 4).alias("pearson_r"),
+                F.round("abs_r", 4).alias("abs_r"), "relevant")
+    )
+    if top_n:
+        out = out.orderBy(F.col("abs_r").desc()).limit(top_n)
+    return out
+
+
+def combine_periods(period_frames: dict[str, DataFrame], on: list[str]) -> DataFrame:
+    """Horizontal concat of per-period feature tables on the key — the
+    combine_extracted_features analog (prep.py:553-611): value columns
+    get the period suffix, join is full-outer so a conversation present
+    in any period survives."""
+    renamed = []
+    for label, df in period_frames.items():
+        cols = [F.col(c) for c in on] + [
+            F.col(c).alias(f"{c}_{label}") for c in df.columns if c not in on
+        ]
+        renamed.append(df.select(*cols))
+    return reduce(lambda a, b: a.join(b, on, "full_outer"), renamed)

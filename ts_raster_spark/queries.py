@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ts_raster_spark.operators.cascade import cascade_up
 from ts_raster_spark.operators.gapfill import gapfill
@@ -286,3 +287,90 @@ def q_fingerprint(spark, sf_dir):
     from ts_raster_spark.operators.textstats import fingerprint
 
     return fingerprint(_docs(spark, sf_dir))
+
+
+# --- ML-prep tail (sample/split/scale/relevance/combine) --------------------
+
+def q_sample_turns(spark, sf_dir):
+    """sample.py analog: deterministic 10% content-hash sample."""
+    from ts_raster_spark.operators.ml_prep import hash_sample
+
+    t = load_turns(spark, sf_dir)
+    return finalize(
+        hash_sample(t, ["conv_id", "turn_idx"], 0.1).select("conv_id", "turn_idx", "role", "ts"),
+        ts_fmt="yyyy-MM-dd HH:mm:ss.SSSSSS",
+    )
+
+
+def q_train_test_split(spark, sf_dir):
+    """model.py:59-76 analog: 0.67/0.33 deterministic conv-level split."""
+    from ts_raster_spark.operators.ml_prep import hash_split
+
+    ids = load_turns(spark, sf_dir).select("conv_id").distinct()
+    return hash_split(ids, ["conv_id"], test_frac=0.33)
+
+
+def _conv_features_xy(spark, sf_dir):
+    t = load_turns(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.count("*").cast("double").alias("n_turns"),
+        F.avg(F.length("text")).alias("mean_text_len"),
+        F.avg(F.col("tool").isNotNull().cast("double")).alias("tool_share"),
+        F.max(F.length("text")).cast("double").alias("max_text_len"),
+        F.avg("value").alias("y"),
+    )
+
+
+def q_minmax_scale(spark, sf_dir):
+    """model.py:50-53 analog: global min-max scaling of feature columns."""
+    from ts_raster_spark.operators.ml_prep import minmax_scale
+
+    xy = _conv_features_xy(spark, sf_dir)
+    out = minmax_scale(xy, ["n_turns", "mean_text_len"])
+    return finalize(
+        out.select("conv_id", "n_turns", "mean_text_len", "n_turns_scaled", "mean_text_len_scaled")
+    )
+
+
+def q_feature_relevance(spark, sf_dir):
+    """checkRelevance analog (calculate.py:366-423): per-feature Pearson
+    correlation against the target, ranked by |r|."""
+    from ts_raster_spark.operators.ml_prep import feature_relevance
+
+    xy = _conv_features_xy(spark, sf_dir)
+    return feature_relevance(xy, "y", ["n_turns", "mean_text_len", "tool_share", "max_text_len"])
+
+
+def q_combine_periods(spark, sf_dir):
+    """combine_extracted_features analog (prep.py:553-611): horizontal
+    join of per-period feature frames with period-suffixed columns."""
+    from ts_raster_spark.operators.ml_prep import combine_periods
+
+    t = load_turns(spark, sf_dir)
+    halves = {
+        "p1": t.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp")),
+        "p2": t.where(F.col("ts") >= F.lit("2024-01-16").cast("timestamp")),
+    }
+    frames = {
+        label: df.groupBy("conv_id").agg(
+            F.count("*").cast("long").alias("turn_count"),
+            F.round(F.avg(F.length("text")), 4).alias("mean_text_len"),
+        )
+        for label, df in halves.items()
+    }
+    return combine_periods(frames, ["conv_id"])
+
+
+def q_balanced_panel_check(spark, sf_dir):
+    """prep.py:721-724 analog: per-(conv, kind) bucket-count balance
+    check against the panel-wide maximum."""
+    long_df = load_long(spark, sf_dir).where(F.col("kind").isin("text_len", "is_tool"))
+    counts = (
+        long_df.withColumn("bucket_start", F.date_trunc("day", F.col("ts")))
+        .groupBy("conv_id", "kind")
+        .agg(F.count_distinct("bucket_start").cast("long").alias("n_buckets"))
+    )
+    w_max = F.max("n_buckets").over(Window.partitionBy())
+    return counts.withColumn("panel_max", w_max).withColumn(
+        "balanced", (F.col("n_buckets") == F.col("panel_max")).cast("int")
+    )
