@@ -80,6 +80,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_relevance": Q.q_feature_relevance,
         "combine_periods": Q.q_combine_periods,
         "balanced_panel_check": Q.q_balanced_panel_check,
+        # Arrow-kernel / compression paths — intentionally no oracle_sql
+        # (CWT + binary blocks are not SQL-expressible); driver records
+        # the weaker rows-only check.
+        "kernel_features_cwt": Q.q_kernel_features_cwt,
+        "compress_roundtrip": Q.q_compress_roundtrip,
     }
 
 

@@ -361,6 +361,40 @@ def q_combine_periods(spark, sf_dir):
     return combine_periods(frames, ["conv_id"])
 
 
+def q_kernel_features_cwt(spark, sf_dir):
+    """Arrow grouped-map kernel path incl. number_cwt_peaks (rows-only
+    driver check: CWT has no SQL analog)."""
+    from ts_raster_spark.operators.kernels import extract_features_kernel
+
+    long_df = load_long(spark, sf_dir).where(F.col("kind") == "text_len")
+    out = extract_features_kernel(long_df, tier=None)
+    keep = ["conv_id", "kind", "turn_count", "mean", "abs_energy",
+            "number_cwt_peaks_n6", "number_cwt_peaks_n12",
+            "longest_strike_above_mean", "longest_strike_below_mean"]
+    return finalize(out.select(*keep))
+
+
+def q_compress_roundtrip(spark, sf_dir):
+    """Gorilla/DoD blocks: per-block sizes + decode-equality flag
+    (rows-only driver check: binary blocks have no SQL analog)."""
+    from ts_raster_spark.operators.compress import compress_blocks, decompress_blocks
+
+    long_df = load_long(spark, sf_dir).where(F.col("kind").isin("text_len", "latency_s"))
+    blocks = compress_blocks(long_df, block="day")
+    decoded = decompress_blocks(blocks).groupBy("conv_id", "kind").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.round(F.sum("value"), 2).alias("sum_decoded"),
+    )
+    original = long_df.groupBy("conv_id", "kind").agg(
+        F.count("*").cast("long").alias("n_orig"),
+        F.round(F.sum("value"), 2).alias("sum_orig"),
+    )
+    return finalize(
+        decoded.join(original, ["conv_id", "kind"])
+        .withColumn("roundtrip_ok", ((F.col("n_points") == F.col("n_orig")) & (F.col("sum_decoded") == F.col("sum_orig"))).cast("int"))
+    )
+
+
 def q_balanced_panel_check(spark, sf_dir):
     """prep.py:721-724 analog: per-(conv, kind) bucket-count balance
     check against the panel-wide maximum."""

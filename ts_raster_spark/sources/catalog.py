@@ -47,10 +47,11 @@ class ParquetTierCatalog:
         """
         spark = df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        sort_cols = [c for c in ("conv_id", "kind", "bucket_start") if c in df.columns]
         (
             self.with_bucket(df)
             .repartition("bucket_id")
-            .sortWithinPartitions("conv_id", "kind")
+            .sortWithinPartitions(*sort_cols)
             .write.mode(mode)
             .partitionBy("bucket_id")
             .parquet(self.path(table))

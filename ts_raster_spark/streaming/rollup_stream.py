@@ -1,0 +1,119 @@
+"""Structured-Streaming rollups: continuous aggregates over arriving turns.
+
+The reference is strictly batch (SURVEY.md §2.9); its incremental path
+is the ``reset_df=False`` cached-panel resume (tsraster/calculate.py:79-81).
+The engine's primary incremental story is likewise batch (idempotent
+MERGE per bucket — operators/cascade.py + plans/checkpoint.py), but the
+same rollup composes as a stream:
+
+- :func:`stream_turns` — file-source stream of turns (schema declared,
+  never inferred),
+- :func:`stream_rollup` — tumbling ``window(ts, tier)`` aggregate with a
+  watermark for late data; append mode emits a bucket once the
+  watermark passes it (late rows for an emitted bucket belong to the
+  batch MERGE path, not the stream),
+- :func:`stateful_turn_counter` — ``applyInPandasWithState`` custom
+  stateful operator: per-conversation running turn count + last-seen
+  ts, the streaming analog of the per-pixel accumulation loop.
+
+Inter-turn latency needs cross-row state and is intentionally NOT in the
+stream's derived channels; it comes from the stateful operator instead.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ts_raster_spark.sources.turns import TURNS_SCHEMA
+
+_TIER_WINDOW = {"minute": "1 minute", "hour": "1 hour", "day": "1 day"}
+
+
+def stream_turns(spark: SparkSession, input_path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    r = spark.readStream.schema(TURNS_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(input_path)
+
+
+def stream_rollup(turns_stream: DataFrame, tier: str = "minute", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window continuous aggregate on the text_len channel."""
+    ch = turns_stream.select(
+        "conv_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.length("text").cast("double").alias("text_len"),
+        F.col("tool").isNotNull().cast("double").alias("is_tool"),
+    )
+    return (
+        ch.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", _TIER_WINDOW[tier]).alias("w"), F.col("conv_id"))
+        .agg(
+            F.count("*").cast("long").alias("turn_count"),
+            F.sum("text_len").alias("sum_text_len"),
+            F.min("text_len").alias("min_text_len"),
+            F.max("text_len").alias("max_text_len"),
+            F.sum("is_tool").alias("tool_turns"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "conv_id", "turn_count",
+                "sum_text_len", "min_text_len", "max_text_len", "tool_turns")
+    )
+
+
+_STATE_SCHEMA = "n_turns LONG, last_ts_us LONG"
+_OUT_SCHEMA = "conv_id STRING, n_turns LONG, last_latency_s DOUBLE"
+
+
+def _counter_fn(
+    key, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    n, last_us = state.get if state.exists else (0, None)
+    latest_latency = None
+    for pdf in batches:
+        pdf = pdf.sort_values(["turn_idx", "ts"])
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        for t in ts_us:
+            if last_us is not None:
+                latest_latency = (int(t) - int(last_us)) / 1e6
+            last_us = int(t)
+            n += 1
+    state.update((n, int(last_us) if last_us is not None else None))
+    yield pd.DataFrame(
+        {"conv_id": [conv_id], "n_turns": [n], "last_latency_s": [latest_latency]}
+    )
+
+
+def stateful_turn_counter(turns_stream: DataFrame) -> DataFrame:
+    """Per-conversation running state across micro-batches: cumulative
+    turn count + latency of the most recent turn. The custom-stateful-
+    operator pattern (applyInPandasWithState) for anything the built-in
+    windowed aggregates can't express."""
+    return (
+        turns_stream.select("conv_id", "turn_idx", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _counter_fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(sdf: DataFrame, query_name: str, output_mode: str) -> None:
+    """Drain the finite file-source backlog into an in-memory table
+    (availableNow trigger), then stop — the batch-parity test harness."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
