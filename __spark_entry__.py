@@ -34,6 +34,9 @@ _FULL = [
     "mean_second_derivative_central", "autocorrelation_lag1",
     "last_location_of_maximum", "first_location_of_maximum",
     "last_location_of_minimum", "first_location_of_minimum",
+    "variation_coefficient", "absolute_sum_of_changes", "cid_ce",
+    "c3_lag1", "time_reversal_asymmetry_lag1",
+    "number_peaks_n1", "number_peaks_n3",
 ]
 
 

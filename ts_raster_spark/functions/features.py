@@ -40,6 +40,9 @@ MU, SIG, VMAX, VMIN, RN, LAG1, LAG2 = "_mu", "_sigma", "_vmax", "_vmin", "_rn", 
 ORDER_COLS = ("turn_idx", "ts")
 
 
+PEAK_NS = (1, 3)
+
+
 def attach_group_stats(df: DataFrame, keys: list[str], order_cols=ORDER_COLS) -> DataFrame:
     """Attach per-group stats + ordered lag/row-number as row columns.
 
@@ -48,15 +51,38 @@ def attach_group_stats(df: DataFrame, keys: list[str], order_cols=ORDER_COLS) ->
     """
     wu = Window.partitionBy(*keys)
     wo = wu.orderBy(*[F.col(c) for c in order_cols])
-    return (
+    out = (
         df.withColumn(MU, F.avg(V).over(wu))
         .withColumn(SIG, F.stddev_pop(V).over(wu))
         .withColumn(VMAX, F.max(V).over(wu))
         .withColumn(VMIN, F.min(V).over(wu))
+        .withColumn("_nrows", F.count(V).over(wu))
         .withColumn(RN, F.row_number().over(wo))
         .withColumn(LAG1, F.lag(V, 1).over(wo))
         .withColumn(LAG2, F.lag(V, 2).over(wo))
     )
+    # neighbourhood maxima for number_peaks(n): strict peak needs x >
+    # every neighbour within distance n on BOTH sides (interior only)
+    for n in PEAK_NS:
+        out = out.withColumn(
+            f"_maxp{n}", F.max(V).over(wo.rowsBetween(-n, -1))
+        ).withColumn(f"_maxf{n}", F.max(V).over(wo.rowsBetween(1, n)))
+    return out
+
+
+def peaks_aggs(ns=PEAK_NS) -> dict[str, Column]:
+    """tsfresh number_peaks(n): count of interior points strictly above
+    all neighbours within distance n. Requires ``attach_group_stats``."""
+    out = {}
+    for n in ns:
+        is_peak = (
+            (F.col(RN) > n)
+            & (F.col(RN) <= F.col("_nrows") - n)
+            & (F.col(V) > F.col(f"_maxp{n}"))
+            & (F.col(V) > F.col(f"_maxf{n}"))
+        )
+        out[f"number_peaks_n{n}"] = F.sum(is_peak.cast("long"))
+    return out
 
 
 def _n() -> Column:
@@ -83,6 +109,10 @@ def core_aggs() -> dict[str, Column]:
         ),
         "count_above_mean": F.sum((F.col(V) > F.col(MU)).cast("long")),
         "count_below_mean": F.sum((F.col(V) < F.col(MU)).cast("long")),
+        # tsfresh variation_coefficient: σ_pop / mean, NaN-as-NULL on zero mean
+        "variation_coefficient": F.when(
+            F.avg(F.col(V)) != 0, F.stddev_pop(V) / F.avg(F.col(V))
+        ),
     }
 
 
@@ -129,9 +159,22 @@ def change_aggs() -> dict[str, Column]:
     sec = F.when(
         F.col(LAG2).isNotNull(), (F.col(V) - 2 * F.col(LAG1) + F.col(LAG2)) / 2.0
     )
+    # c3(lag=1): mean over consecutive triples of x_t · x_{t+1} · x_{t+2}
+    c3 = F.when(F.col(LAG2).isNotNull(), F.col(V) * F.col(LAG1) * F.col(LAG2))
+    # time_reversal_asymmetry_statistic(lag=1): mean(x_{t+2}²x_{t+1} − x_{t+1}x_t²)
+    tras = F.when(
+        F.col(LAG2).isNotNull(),
+        F.col(V) * F.col(V) * F.col(LAG1) - F.col(LAG1) * F.col(LAG2) * F.col(LAG2),
+    )
+    # tsfresh conventions for too-short series: sum-of-changes/cid give
+    # 0.0 (empty diff), c3/time-reversal return 0 when n <= 2·lag.
     return {
         "mean_abs_change": F.avg(F.abs(diff)),  # README.md:110
         "mean_second_derivative_central": F.avg(sec),
+        "absolute_sum_of_changes": F.coalesce(F.sum(F.abs(diff)), F.lit(0.0)),
+        "cid_ce": F.sqrt(F.coalesce(F.sum(diff * diff), F.lit(0.0))),
+        "c3_lag1": F.coalesce(F.avg(c3), F.lit(0.0)),
+        "time_reversal_asymmetry_lag1": F.coalesce(F.avg(tras), F.lit(0.0)),
     }
 
 
@@ -200,6 +243,7 @@ def default_feature_aggs(include_order_sensitive: bool = True) -> dict[str, Colu
         aggs.update(change_aggs())
         aggs.update(autocorrelation_agg(1))
         aggs.update(location_aggs())
+        aggs.update(peaks_aggs())
     return aggs
 
 

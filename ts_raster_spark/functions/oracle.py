@@ -161,7 +161,54 @@ def agg_linear_trend_slope(x, chunk_len, f_agg="max"):
     return float(slope)
 
 
+def absolute_sum_of_changes(x):
+    return float(np.sum(np.abs(np.diff(x)))) if len(x) > 1 else 0.0
+
+
+def cid_ce(x):
+    return float(np.sqrt(np.sum(np.diff(x) ** 2))) if len(x) > 1 else 0.0
+
+
+def c3(x, lag):
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if n <= 2 * lag:
+        return 0.0
+    return float(np.mean(x[: n - 2 * lag] * x[lag : n - lag] * x[2 * lag :]))
+
+
+def time_reversal_asymmetry(x, lag):
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if n <= 2 * lag:
+        return 0.0
+    a, b, c = x[: n - 2 * lag], x[lag : n - lag], x[2 * lag :]
+    return float(np.mean(c * c * b - b * a * a))
+
+
+def variation_coefficient(x):
+    x = np.asarray(x, dtype=float)
+    m = np.mean(x)
+    return float(np.std(x) / m) if m != 0 else np.nan
+
+
+def number_peaks(x, n):
+    x = np.asarray(x, dtype=float)
+    cnt = 0
+    for i in range(n, len(x) - n):
+        if all(x[i] > x[i - k] and x[i] > x[i + k] for k in range(1, n + 1)):
+            cnt += 1
+    return cnt
+
+
 ORACLES = {
+    "absolute_sum_of_changes": absolute_sum_of_changes,
+    "cid_ce": cid_ce,
+    "c3_lag1": lambda x: c3(x, 1),
+    "time_reversal_asymmetry_lag1": lambda x: time_reversal_asymmetry(x, 1),
+    "variation_coefficient": variation_coefficient,
+    "number_peaks_n1": lambda x: number_peaks(x, 1),
+    "number_peaks_n3": lambda x: number_peaks(x, 3),
     "mean": mean,
     "maximum": maximum,
     "minimum": minimum,

@@ -27,9 +27,14 @@ stats AS (
         stddev_pop(value) OVER (PARTITION BY {part}) AS sigma,
         max(value) OVER (PARTITION BY {part}) AS vmax,
         min(value) OVER (PARTITION BY {part}) AS vmin,
+        count(value) OVER (PARTITION BY {part}) AS nrows,
         row_number() OVER (PARTITION BY {part} ORDER BY turn_idx, ts) AS rn,
         lag(value, 1) OVER (PARTITION BY {part} ORDER BY turn_idx, ts) AS lag1,
-        lag(value, 2) OVER (PARTITION BY {part} ORDER BY turn_idx, ts) AS lag2
+        lag(value, 2) OVER (PARTITION BY {part} ORDER BY turn_idx, ts) AS lag2,
+        max(value) OVER (PARTITION BY {part} ORDER BY turn_idx, ts ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS maxp1,
+        max(value) OVER (PARTITION BY {part} ORDER BY turn_idx, ts ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS maxf1,
+        max(value) OVER (PARTITION BY {part} ORDER BY turn_idx, ts ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS maxp3,
+        max(value) OVER (PARTITION BY {part} ORDER BY turn_idx, ts ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS maxf3
     FROM {src}
 )
 """
@@ -74,13 +79,29 @@ CORE_EXPRS = {
         "sum(CASE WHEN lag1 IS NOT NULL THEN (value - mu) * (lag1 - mu) END) "
         "/ ((count(value) - 1) * max(sigma * sigma)) END"
     ),
+    "absolute_sum_of_changes": "coalesce(sum(abs(value - lag1)), 0.0)",
+    "cid_ce": "sqrt(coalesce(sum((value - lag1) * (value - lag1)), 0.0))",
+    "c3_lag1": "coalesce(avg(CASE WHEN lag2 IS NOT NULL THEN value * lag1 * lag2 END), 0.0)",
+    "time_reversal_asymmetry_lag1": (
+        "coalesce(avg(CASE WHEN lag2 IS NOT NULL THEN value * value * lag1 - lag1 * lag2 * lag2 END), 0.0)"
+    ),
+    "variation_coefficient": "CASE WHEN avg(value) != 0 THEN stddev_pop(value) / avg(value) END",
+    "number_peaks_n1": (
+        "sum(CASE WHEN rn > 1 AND rn <= nrows - 1 AND value > maxp1 AND value > maxf1 THEN 1 ELSE 0 END)"
+    ),
+    "number_peaks_n3": (
+        "sum(CASE WHEN rn > 3 AND rn <= nrows - 3 AND value > maxp3 AND value > maxf3 THEN 1 ELSE 0 END)"
+    ),
     "last_location_of_maximum": "CAST(max(CASE WHEN value = vmax THEN rn END) AS DOUBLE) / count(value)",
     "first_location_of_maximum": "CAST(min(CASE WHEN value = vmax THEN rn END) - 1 AS DOUBLE) / count(value)",
     "last_location_of_minimum": "CAST(max(CASE WHEN value = vmin THEN rn END) AS DOUBLE) / count(value)",
     "first_location_of_minimum": "CAST(min(CASE WHEN value = vmin THEN rn END) - 1 AS DOUBLE) / count(value)",
 }
 
-INT_FEATURES = {"turn_count", "count_above_mean", "count_below_mean", "large_standard_deviation_r25"}
+INT_FEATURES = {
+    "turn_count", "count_above_mean", "count_below_mean",
+    "large_standard_deviation_r25", "number_peaks_n1", "number_peaks_n3",
+}
 
 
 def feature_select(features: list[str], keys: list[str], key_exprs: list[str] | None = None) -> str:
