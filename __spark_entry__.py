@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_relevance": Q.q_feature_relevance,
         "combine_periods": Q.q_combine_periods,
         "balanced_panel_check": Q.q_balanced_panel_check,
+        "export_wide_features": Q.q_export_wide_features,
         # Arrow-kernel / compression paths — intentionally no oracle_sql
         # (CWT + binary blocks are not SQL-expressible); driver records
         # the weaker rows-only check.
@@ -374,6 +375,27 @@ SELECT conv_id, kind, n_buckets,
     max(n_buckets) OVER () AS panel_max,
     CASE WHEN n_buckets = max(n_buckets) OVER () THEN 1 ELSE 0 END AS balanced
 FROM counts
+""",
+        "export_wide_features": f"""{LONG_CTE},
+piv AS (
+    SELECT conv_id,
+        count(CASE WHEN kind = 'text_len' THEN value END) AS text_len_n,
+        avg(CASE WHEN kind = 'text_len' THEN value END) AS text_len_mean,
+        max(CASE WHEN kind = 'text_len' THEN value END) AS text_len_max,
+        count(CASE WHEN kind = 'latency_s' THEN value END) AS latency_s_n,
+        avg(CASE WHEN kind = 'latency_s' THEN value END) AS latency_s_mean,
+        max(CASE WHEN kind = 'latency_s' THEN value END) AS latency_s_max
+    FROM long_panel WHERE kind IN ('text_len', 'latency_s')
+    GROUP BY conv_id
+)
+SELECT conv_id,
+    text_len_n,
+    coalesce(round(text_len_mean, 4), -9999.0) AS text_len_mean,
+    coalesce(round(text_len_max, 4), -9999.0) AS text_len_max,
+    latency_s_n,
+    coalesce(round(latency_s_mean, 4), -9999.0) AS latency_s_mean,
+    coalesce(round(latency_s_max, 4), -9999.0) AS latency_s_max
+FROM piv
 """,
         "dedup_exact": DD.exact_dedup_sql(),
         "dedup_ngram_jaccard": DD.jaccard_sql(0.8),

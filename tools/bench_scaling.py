@@ -143,11 +143,14 @@ def main():
     lo = run_child(N_LOW)
 
     jvm_ceiling = (lo["jvm_pure_compute"] / hi["jvm_pure_compute"]) / (N_HIGH / N_LOW)
+    # The per-run best demonstrated parallel efficiency of ANY work on
+    # this box; the python-mp probe is the stabler of the two.
+    ceiling = max(py_ceiling, jvm_ceiling)
 
     rows = []
     for q in ("e2e_tiers", "agg_minute", "rollup_hour_full"):
         sp = lo[q] / hi[q]
-        rows.append((q, lo[q], hi[q], sp, sp / 4, (sp / 4) / jvm_ceiling))
+        rows.append((q, lo[q], hi[q], sp, sp / 4, (sp / 4) / ceiling))
 
     tp_lo = n_turns / lo["e2e_tiers"]
     tp_hi = n_turns / hi["e2e_tiers"]
@@ -176,7 +179,7 @@ def main():
         "",
         "## Engine jobs",
         "",
-        "| job | local[8] s | local[32] s | speedup | eff (absolute) | eff (vs JVM ceiling) |",
+        "| job | local[8] s | local[32] s | speedup | eff (absolute) | eff (vs platform ceiling) |",
         "|---|---|---|---|---|---|",
     ]
     for q, a, b, s, e, er in rows:

@@ -55,7 +55,28 @@ def rollup_features(
     aggs = FT.default_feature_aggs()
     if feature_names is not None:
         aggs = {k: v for k, v in aggs.items() if k in set(feature_names)}
+
+    # Percentile fusion: median + the 4 quantiles each sort the group's
+    # values; one percentile(value, array(...)) sorts ONCE and returns
+    # all five. ~5x less sort work in the 29-aggregate rollup.
+    q_names = ["quantile_q05", "quantile_q15", "median", "quantile_q85", "quantile_q95"]
+    fused = [n for n in q_names if n in aggs]
+    post: list[tuple[str, F.Column]] = []
+    if len(fused) > 1:
+        qs = {"quantile_q05": 0.05, "quantile_q15": 0.15, "median": 0.5,
+              "quantile_q85": 0.85, "quantile_q95": 0.95}
+        arr = ", ".join(str(qs[n]) for n in fused)
+        for n in fused:
+            del aggs[n]
+        aggs["_qarr"] = F.expr(f"percentile(value, array({arr}))")
+        for i, n in enumerate(fused):
+            post.append((n, F.col("_qarr")[i]))
+
     wide = df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+    for n, c in post:
+        wide = wide.withColumn(n, c)
+    if post:
+        wide = wide.drop("_qarr")
 
     extras: list[DataFrame] = []
     if include_strikes:

@@ -361,6 +361,29 @@ def q_combine_periods(spark, sf_dir):
     return combine_periods(frames, ["conv_id"])
 
 
+def q_export_wide_features(spark, sf_dir):
+    """CreateTiff / features_to_array analog (calculate.py:23-55,
+    314-332): the banded export layout — one row per conv_id, one column
+    per (kind × feature), deterministic column order, sentinel-filled
+    where a channel is absent (e.g. single-turn convs have no latency)."""
+    long_df = load_long(spark, sf_dir).where(F.col("kind").isin("text_len", "latency_s"))
+    wide = long_df.groupBy("conv_id").pivot("kind", ["text_len", "latency_s"]).agg(
+        F.count("value").alias("n"),
+        F.avg("value").alias("mean"),
+        F.max("value").alias("max"),
+    )
+    out = wide.select(
+        "conv_id",
+        F.coalesce(F.col("text_len_n").cast("long"), F.lit(0)).alias("text_len_n"),
+        F.coalesce(F.round("text_len_mean", 4), F.lit(-9999.0)).alias("text_len_mean"),
+        F.coalesce(F.round("text_len_max", 4), F.lit(-9999.0)).alias("text_len_max"),
+        F.coalesce(F.col("latency_s_n").cast("long"), F.lit(0)).alias("latency_s_n"),
+        F.coalesce(F.round("latency_s_mean", 4), F.lit(-9999.0)).alias("latency_s_mean"),
+        F.coalesce(F.round("latency_s_max", 4), F.lit(-9999.0)).alias("latency_s_max"),
+    )
+    return out
+
+
 def q_kernel_features_cwt(spark, sf_dir):
     """Arrow grouped-map kernel path incl. number_cwt_peaks (rows-only
     driver check: CWT has no SQL analog)."""
