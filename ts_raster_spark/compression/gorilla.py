@@ -46,20 +46,23 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Reads the whole buffer as one big int once; each read() is then a
-    single shift+mask instead of a per-bit loop (~10× faster decode)."""
+    """O(1) per read: slice only the ≤10 bytes covering the requested
+    bit span (a whole-buffer big int would make each shift O(block) and
+    decode O(block²))."""
 
-    __slots__ = ("total_bits", "value", "pos")
+    __slots__ = ("data", "pos")
 
     def __init__(self, data: bytes):
-        self.total_bits = len(data) * 8
-        self.value = int.from_bytes(data, "big")
+        self.data = data
         self.pos = 0
 
     def read(self, bits: int) -> int:
-        shift = self.total_bits - self.pos - bits
+        start = self.pos >> 3
+        end = (self.pos + bits + 7) >> 3
+        chunk = int.from_bytes(self.data[start:end], "big")
+        shift = (end - start) * 8 - (self.pos - start * 8) - bits
         self.pos += bits
-        return (self.value >> shift) & ((1 << bits) - 1)
+        return (chunk >> shift) & ((1 << bits) - 1)
 
 
 _U64 = (1 << 64) - 1
