@@ -37,27 +37,38 @@ BLOCK_SCHEMA = (
 POINT_SCHEMA = "conv_id string, kind string, ts timestamp, value double"
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def _encode_series(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Encode every time block of one (conv_id, kind) series in a single
+    kernel call — grouping at block granularity would pay the Arrow
+    per-group overhead (~ms) for every tiny block; per-series grouping
+    amortizes it ~30× while a block-keyed output still bounds the rows."""
     pdf = pdf.sort_values(["turn_idx", "ts"]) if "turn_idx" in pdf.columns else pdf.sort_values("ts")
-    ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").view(np.int64)
-    vals = pdf["value"].to_numpy(dtype=np.float64)
-    return pd.DataFrame(
-        {
-            "conv_id": [pdf["conv_id"].iloc[0]],
-            "kind": [pdf["kind"].iloc[0]],
-            "block_start": [pdf["block_start"].iloc[0]],
-            "n": [len(pdf)],
-            "ts_block": [encode_timestamps(ts_us)],
-            "val_block": [encode_values(vals)],
-        }
-    )
+    rows = []
+    for b, sub in pdf.groupby("block_start", sort=True):
+        ts_us = sub["ts"].to_numpy(dtype="datetime64[us]").view(np.int64)
+        vals = sub["value"].to_numpy(dtype=np.float64)
+        rows.append(
+            (
+                sub["conv_id"].iloc[0],
+                sub["kind"].iloc[0],
+                b,
+                len(sub),
+                encode_timestamps(ts_us),
+                encode_values(vals),
+            )
+        )
+    return pd.DataFrame(rows, columns=["conv_id", "kind", "block_start", "n", "ts_block", "val_block"])
 
 
 def compress_blocks(long_df: DataFrame, block: str = "day") -> DataFrame:
-    """long panel (conv_id, turn_idx, ts, kind, value) → Gorilla blocks."""
+    """long panel (conv_id, turn_idx, ts, kind, value) → Gorilla blocks.
+
+    One applyInPandas group per (conv_id, kind); a mega-conversation's
+    full channel must fit a task (~16 MB per 1M turns) — beyond that,
+    add a coarse time salt to the grouping keys (SURVEY.md §4)."""
     keyed = long_df.withColumn("block_start", F.date_trunc(block, F.col("ts")))
-    return keyed.groupBy("conv_id", "kind", "block_start").applyInPandas(
-        _encode_group, schema=BLOCK_SCHEMA
+    return keyed.groupBy("conv_id", "kind").applyInPandas(
+        _encode_series, schema=BLOCK_SCHEMA
     )
 
 
