@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combine_periods": Q.q_combine_periods,
         "balanced_panel_check": Q.q_balanced_panel_check,
         "export_wide_features": Q.q_export_wide_features,
+        "asof_join": Q.q_asof_join,
+        "session_windows": Q.q_session_windows,
         # Arrow-kernel / compression paths — intentionally no oracle_sql
         # (CWT + binary blocks are not SQL-expressible); driver records
         # the weaker rows-only check.
@@ -375,6 +377,35 @@ SELECT conv_id, kind, n_buckets,
     max(n_buckets) OVER () AS panel_max,
     CASE WHEN n_buckets = max(n_buckets) OVER () THEN 1 ELSE 0 END AS balanced
 FROM counts
+""",
+        "asof_join": f"""{LONG_CTE},
+points AS (
+    SELECT conv_id, date_trunc('hour', ts) AS bucket_start, round(avg(value), 4) AS bucket_mean
+    FROM long_panel WHERE kind = 'text_len' GROUP BY 1, 2
+)
+SELECT t.conv_id, t.turn_idx, strftime(t.ts, '{TS_FMT_US}') AS ts,
+       round(p.bucket_mean, 4) AS bucket_mean
+FROM turns t ASOF LEFT JOIN points p
+    ON t.conv_id = p.conv_id AND t.ts >= p.bucket_start
+""",
+        "session_windows": f"""{TURNS_CTE},
+flagged AS (
+    SELECT conv_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+    FROM turns
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+grouped AS (
+    SELECT conv_id, ts,
+        sum(new_s) OVER (PARTITION BY conv_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT conv_id,
+    strftime(min(ts), '{TS_FMT_US}') AS session_start,
+    strftime(max(ts) + INTERVAL 30 MINUTE, '{TS_FMT_US}') AS session_end,
+    count(*) AS n_turns
+FROM grouped GROUP BY conv_id, sid
 """,
         "export_wide_features": f"""{LONG_CTE},
 piv AS (

@@ -1,0 +1,80 @@
+"""As-of join + session windows — time-series operators Spark lacks as
+built-in joins, composed from DataFrame primitives.
+
+- :func:`asof_join_backward` — for every left row, the most recent right
+  row at-or-before its timestamp within the same key (the operator
+  implicit in the reference's locf gap-fill, SURVEY.md §2.4). Built as
+  union → ordered window `last(ignorenulls)` → filter: one shuffle on
+  the key, no range-explode, no per-row Python. (DuckDB's native
+  ``ASOF JOIN`` is the oracle.)
+- :func:`session_windows` — conversations chunked by inactivity gaps
+  via native ``F.session_window`` (Catalyst's merging session
+  aggregation; the oracle replays it as gaps-and-islands SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of-backward join: attach the latest right ``value_cols``
+    with ``right_ts <= left_ts`` per ``key``.
+
+    Union-based plan: tag both sides, sort within key by (ts, tag) with
+    the right side winning timestamp ties, carry values forward with
+    ``last(ignorenulls)``, keep left rows. Exactly one hash exchange on
+    ``key``; skew on a hot key is bounded by the window sort (salt the
+    key by time bucket if a single key exceeds a task, SURVEY.md §4).
+    """
+    l_tag = left.select(
+        F.col(key), F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*left.columns).alias("_row"),
+    )
+    r_tag = right.select(
+        F.col(key), F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"),
+    )
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        u = u.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    out = u.where(F.col("_side") == 1)
+    return out.select(
+        *[F.col(f"_row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+    )
+
+
+def session_windows(turns: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-conversation activity sessions: turns closer than ``gap``
+    merge into one session (native merging session aggregation).
+
+    Output: (conv_id, session_start, session_end, n_turns)."""
+    return (
+        turns.groupBy("conv_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").cast("long").alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+        )
+    )

@@ -361,6 +361,32 @@ def q_combine_periods(spark, sf_dir):
     return combine_periods(frames, ["conv_id"])
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of backward join: each turn picks up the latest hour-bucket
+    mean text_len at-or-before its timestamp (DuckDB native ASOF JOIN is
+    the oracle)."""
+    from ts_raster_spark.operators.asof import asof_join_backward
+
+    t = load_turns(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    pts = rollup_simple(
+        load_long(spark, sf_dir).where(F.col("kind") == "text_len"),
+        "hour",
+        aggs={"bucket_mean": F.avg("value")},
+    ).select("conv_id", "bucket_start", F.round("bucket_mean", 4).alias("bucket_mean"))
+    out = asof_join_backward(t, pts, key="conv_id", left_ts="ts", right_ts="bucket_start",
+                             value_cols=["bucket_mean"])
+    return finalize(out.select("conv_id", "turn_idx", "ts", "bucket_mean"),
+                    ts_fmt="yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+def q_session_windows(spark, sf_dir):
+    """Native merging session windows (30 min inactivity gap)."""
+    from ts_raster_spark.operators.asof import session_windows
+
+    out = session_windows(load_turns(spark, sf_dir), gap="30 minutes")
+    return finalize(out, ts_fmt="yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
 def q_export_wide_features(spark, sf_dir):
     """CreateTiff / features_to_array analog (calculate.py:23-55,
     314-332): the banded export layout — one row per conv_id, one column
