@@ -115,6 +115,37 @@ def feature_relevance(xy: DataFrame, target_col: str, feature_cols: list[str], t
     return out
 
 
+def feature_relevance_fdr(
+    xy: DataFrame, target_col: str, feature_cols: list[str], fdr_level: float = 0.05
+) -> DataFrame:
+    """Full checkRelevance parity (calculate.py:366-423): per-feature
+    Pearson test p-values + Benjamini-Hochberg FDR at ``fdr_level``
+    (tsfresh's default 0.05). One distributed agg pass computes every
+    correlation; the O(#features) p-value/FDR step runs driver-side."""
+    from ts_raster_spark.functions.stats import benjamini_hochberg, pearson_p_value
+
+    spark = xy.sparkSession
+    n = xy.count()
+    aggs = [
+        F.expr(
+            f"try_divide(covar_samp({c}, {target_col}), "
+            f"stddev_samp({c}) * stddev_samp({target_col}))"
+        ).alias(c)
+        for c in feature_cols
+    ]
+    row = xy.agg(*aggs).first()
+    rs = {c: (row[c] if row[c] is not None else float("nan")) for c in feature_cols}
+    ps = {c: pearson_p_value(r, n) for c, r in rs.items()}
+    rel = benjamini_hochberg(ps, fdr_level)
+    out = [
+        (c, float(rs[c]), float(ps[c]), bool(rel[c]))
+        for c in feature_cols
+    ]
+    return spark.createDataFrame(
+        out, "feature string, pearson_r double, p_value double, relevant boolean"
+    )
+
+
 def combine_periods(period_frames: dict[str, DataFrame], on: list[str]) -> DataFrame:
     """Horizontal concat of per-period feature tables on the key — the
     combine_extracted_features analog (prep.py:553-611): value columns
