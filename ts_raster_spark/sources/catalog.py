@@ -37,16 +37,20 @@ class ParquetTierCatalog:
             "bucket_id", F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).cast("int")
         )
 
-    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite", full: bool = False) -> None:
         """Write a tier table bucketed by conv_id.
 
         ``mode='overwrite'`` with dynamic partition overwrite replaces
         only the buckets present in ``df`` — the idempotent-MERGE
         stand-in (a resumed job rewrites its own buckets byte-identically
-        instead of double-appending).
+        instead of double-appending). ``full=True`` switches to static
+        overwrite (truncate-then-write) for operations that may empty a
+        bucket entirely (retention TTL drops).
         """
         spark = df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "static" if full else "dynamic"
+        )
         sort_cols = [c for c in ("conv_id", "kind", "bucket_start") if c in df.columns]
         (
             self.with_bucket(df)
