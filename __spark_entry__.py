@@ -36,7 +36,7 @@ _FULL = [
     "last_location_of_minimum", "first_location_of_minimum",
     "variation_coefficient", "absolute_sum_of_changes", "cid_ce",
     "c3_lag1", "time_reversal_asymmetry_lag1",
-    "number_peaks_n1", "number_peaks_n3",
+    "number_peaks_n1", "number_peaks_n3", "number_crossing_0",
 ]
 
 
@@ -152,15 +152,31 @@ trend AS (
     SELECT conv_id, kind, round(regr_slope(chunk_agg, chunk), 4) AS agg_linear_trend_slope_max_chunk3
     FROM chunks GROUP BY 1, 2
 ),
+binc AS (
+    SELECT conv_id, kind,
+        CASE WHEN vmax > vmin
+             THEN least(CAST(floor((value - vmin) / ((vmax - vmin) / 10)) AS INTEGER), 9)
+             ELSE 0 END AS bin,
+        count(*)::DOUBLE AS c
+    FROM stats GROUP BY 1, 2, 3
+),
+binp AS (
+    SELECT conv_id, kind, c / sum(c) OVER (PARTITION BY conv_id, kind) AS p FROM binc
+),
+entropy AS (
+    SELECT conv_id, kind, round(-sum(p * ln(p)), 4) AS binned_entropy_10
+    FROM binp GROUP BY 1, 2
+),
 feats AS (
     SELECT {sel}
     FROM stats GROUP BY conv_id, kind
 )
 SELECT f.*, s.longest_strike_above_mean, s.longest_strike_below_mean,
-       t.agg_linear_trend_slope_max_chunk3
+       t.agg_linear_trend_slope_max_chunk3, e.binned_entropy_10
 FROM feats f
 LEFT JOIN strikes s ON f.conv_id = s.conv_id AND f.kind = s.kind
 LEFT JOIN trend t ON f.conv_id = t.conv_id AND f.kind = t.kind
+LEFT JOIN entropy e ON f.conv_id = e.conv_id AND f.kind = e.kind
 """
 
 

@@ -41,7 +41,7 @@ def wide(spark):
                 (name, i, (pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=30 * i)).to_pydatetime(), "chan", float(v))
             )
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp, kind string, value double")
-    out = rollup_features(df, tier=None, include_strikes=True, include_trend=True)
+    out = rollup_features(df, tier=None, include_strikes=True, include_trend=True, include_entropy=True)
     pdf = out.toPandas().set_index("conv_id")
     return pdf
 

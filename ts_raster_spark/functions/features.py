@@ -175,6 +175,17 @@ def change_aggs() -> dict[str, Column]:
         "cid_ce": F.sqrt(F.coalesce(F.sum(diff * diff), F.lit(0.0))),
         "c3_lag1": F.coalesce(F.avg(c3), F.lit(0.0)),
         "time_reversal_asymmetry_lag1": F.coalesce(F.avg(tras), F.lit(0.0)),
+        # tsfresh number_crossing_m (m=0): sign changes of (x > 0)
+        "number_crossing_0": F.coalesce(
+            F.sum(
+                F.when(
+                    F.col(LAG1).isNotNull()
+                    & ((F.col(V) > 0) != (F.col(LAG1) > 0)),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long"),
     }
 
 
@@ -273,6 +284,27 @@ def longest_strike(df: DataFrame, keys: list[str], above: bool = True) -> DataFr
     )
     base = df.select(*keys).distinct()
     return base.join(runs, keys, "left").withColumn(name, F.coalesce(F.col(name), F.lit(0)).cast("long"))
+
+
+def binned_entropy(df: DataFrame, keys: list[str], bins: int = 10) -> DataFrame:
+    """tsfresh binned_entropy(max_bins): Shannon entropy of the
+    equal-width histogram over [min, max]. Histogram = one extra
+    aggregation level on (keys, bin), entropy folded per keys — the
+    same join-back pattern as :func:`longest_strike`.
+
+    Requires ``attach_group_stats`` (VMAX/VMIN)."""
+    name = f"binned_entropy_{bins}"
+    width = (F.col(VMAX) - F.col(VMIN)) / bins
+    bin_id = F.when(
+        F.col(VMAX) > F.col(VMIN),
+        F.least(F.floor((F.col(V) - F.col(VMIN)) / width), F.lit(bins - 1)),
+    ).otherwise(F.lit(0))
+    counts = df.withColumn("_bin", bin_id).groupBy(*(keys + ["_bin"])).agg(
+        F.count("*").cast("double").alias("_c")
+    )
+    w = Window.partitionBy(*keys)
+    p = counts.withColumn("_p", F.col("_c") / F.sum("_c").over(w))
+    return p.groupBy(*keys).agg((-F.sum(F.col("_p") * F.log("_p"))).alias(name))
 
 
 def agg_linear_trend_slope(

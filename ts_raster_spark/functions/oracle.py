@@ -201,7 +201,66 @@ def number_peaks(x, n):
     return cnt
 
 
+def number_crossing_m(x, m):
+    """tsfresh: count of sign changes of (x > m) between neighbours."""
+    x = np.asarray(x, dtype=float)
+    if len(x) < 2:
+        return 0
+    pos = x > m
+    return int(np.sum(pos[1:] != pos[:-1]))
+
+
+def binned_entropy(x, max_bins):
+    x = np.asarray(x, dtype=float)
+    hist, _ = np.histogram(x, bins=max_bins)
+    p = hist / len(x)
+    p = p[p > 0]
+    return float(-np.sum(p * np.log(p)))
+
+
+def sample_entropy(x, m: int = 2, r_frac: float = 0.2):
+    """tsfresh sample_entropy: m=2, tolerance r = 0.2·std(x), Chebyshev
+    distance template matching (vectorized; O(n²) per series)."""
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if n <= m + 1:
+        return np.nan
+    r = r_frac * np.std(x)
+
+    def _phi(mm):
+        templ = np.array([x[i : i + mm] for i in range(n - mm + 1)])
+        count = 0
+        for i in range(len(templ) - 1):
+            d = np.max(np.abs(templ[i + 1 :] - templ[i]), axis=1)
+            count += int(np.sum(d <= r))
+        return count
+
+    b = _phi(m)
+    a = _phi(m + 1)
+    if a == 0 or b == 0:
+        return np.nan
+    return float(-np.log(a / b))
+
+
+def permutation_entropy(x, tau: int = 1, dimension: int = 3):
+    """tsfresh permutation_entropy(tau=1, dimension=3): Shannon entropy
+    of ordinal patterns of embedded windows."""
+    x = np.asarray(x, dtype=float)
+    n = len(x) - (dimension - 1) * tau
+    if n <= 0:
+        return np.nan
+    windows = np.array([x[i : i + (dimension - 1) * tau + 1 : tau] for i in range(n)])
+    perms = np.argsort(np.argsort(windows, axis=1, kind="stable"), axis=1, kind="stable")
+    _, counts = np.unique(perms, axis=0, return_counts=True)
+    p = counts / n
+    return float(-np.sum(p * np.log(p)))
+
+
 ORACLES = {
+    "number_crossing_0": lambda x: number_crossing_m(x, 0.0),
+    "binned_entropy_10": lambda x: binned_entropy(x, 10),
+    "sample_entropy": sample_entropy,
+    "permutation_entropy": permutation_entropy,
     "absolute_sum_of_changes": absolute_sum_of_changes,
     "cid_ce": cid_ce,
     "c3_lag1": lambda x: c3(x, 1),

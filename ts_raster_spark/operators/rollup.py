@@ -42,6 +42,7 @@ def rollup_features(
     tier: str | None = "minute",
     include_strikes: bool = False,
     include_trend: bool = False,
+    include_entropy: bool = False,
     feature_names: list[str] | None = None,
 ) -> DataFrame:
     """Wide feature rollup at a retention tier.
@@ -84,6 +85,8 @@ def rollup_features(
         extras.append(FT.longest_strike(df, keys, above=False))
     if include_trend:
         extras.append(FT.agg_linear_trend_slope(df, keys, chunk_len=3, f_agg="max"))
+    if include_entropy:
+        extras.append(FT.binned_entropy(df, keys, bins=10))
     if extras:
         wide = reduce(lambda a, b: a.join(b, keys, "left"), [wide, *extras])
     return wide

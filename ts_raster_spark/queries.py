@@ -77,11 +77,16 @@ def q_long_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FULL_FEATURES = None  # all of default_feature_aggs
 
 
-def _rollup(spark, sf_dir, tier, kinds=None, strikes=False, trend=False):
+def _rollup(spark, sf_dir, tier, kinds=None, strikes=False, trend=False, entropy=False):
     long_df = load_long(spark, sf_dir)
     if kinds:
         long_df = long_df.where(F.col("kind").isin(*kinds))
-    return finalize(rollup_features(long_df, tier=tier, include_strikes=strikes, include_trend=trend))
+    return finalize(
+        rollup_features(
+            long_df, tier=tier, include_strikes=strikes,
+            include_trend=trend, include_entropy=entropy,
+        )
+    )
 
 
 def q_rollup_minute_core(spark, sf_dir):
@@ -102,7 +107,7 @@ def q_rollup_day_full(spark, sf_dir):
 def q_conv_features(spark, sf_dir):
     """Whole-series extraction (the reference's single-period
     calculateFeatures run), incl. strikes + chunked linear trend."""
-    return _rollup(spark, sf_dir, None, kinds=["text_len"], strikes=True, trend=True)
+    return _rollup(spark, sf_dir, None, kinds=["text_len"], strikes=True, trend=True, entropy=True)
 
 
 def q_latency_stats_hour(spark, sf_dir):

@@ -86,6 +86,9 @@ CORE_EXPRS = {
         "coalesce(avg(CASE WHEN lag2 IS NOT NULL THEN value * value * lag1 - lag1 * lag2 * lag2 END), 0.0)"
     ),
     "variation_coefficient": "CASE WHEN avg(value) != 0 THEN stddev_pop(value) / avg(value) END",
+    "number_crossing_0": (
+        "coalesce(sum(CASE WHEN lag1 IS NOT NULL AND ((value > 0) != (lag1 > 0)) THEN 1 ELSE 0 END), 0)"
+    ),
     "number_peaks_n1": (
         "sum(CASE WHEN rn > 1 AND rn <= nrows - 1 AND value > maxp1 AND value > maxf1 THEN 1 ELSE 0 END)"
     ),
@@ -101,6 +104,7 @@ CORE_EXPRS = {
 INT_FEATURES = {
     "turn_count", "count_above_mean", "count_below_mean",
     "large_standard_deviation_r25", "number_peaks_n1", "number_peaks_n3",
+    "number_crossing_0",
 }
 
 
