@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": Q.q_dedup_simhash,
         "ann_topk_cosine": Q.q_ann_topk_cosine,
         "ann_signlsh": Q.q_ann_signlsh,
+        "ann_ivf": Q.q_ann_ivf,  # rows-only: k-means not SQL-reproducible
+        "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
         "lang_id": Q.q_lang_id,
         "token_stats": Q.q_token_stats,
         "quality_score": Q.q_quality_score,
@@ -450,6 +452,15 @@ FROM piv
         "dedup_simhash": DD.simhash16_sql(),
         "ann_topk_cosine": DD.cosine_topk_sql(Q.ANN_QUERY_IDS, 5),
         "ann_signlsh": DD.signlsh_topk_sql(Q.ANN_QUERY_IDS, 3),
+        "dedup_embedding_cosine": f"""WITH pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round({DD._DOT} / ({DD._NORM.format(c='a')} * {DD._NORM.format(c='b')}), 4) AS cosine
+    FROM (SELECT vec_id, embedding AS a FROM embeddings) a,
+         (SELECT vec_id, embedding AS b FROM embeddings) b
+    WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
+""",
         "lang_id": DD.lang_id_sql(),
         "token_stats": DD.token_stats_sql(),
         "quality_score": DD.quality_sql(),

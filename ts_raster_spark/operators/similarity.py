@@ -58,6 +58,71 @@ def sign_bucket(emb: DataFrame, n_planes: int = 8) -> DataFrame:
     return emb.withColumn("bucket", F.expr(expr).cast("int"))
 
 
+def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    cosine ≥ threshold. Exact all-pairs at gate scale; at 100 TB use the
+    sign-LSH buckets (or IVF cells) as the blocking stage and run this
+    within blocks."""
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b"))
+    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    return (
+        _with_cosine(pairs)
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def kmeans_ivf(emb: DataFrame, n_cells: int = 16, seed: int = 42, max_iter: int = 10):
+    """IVF coarse quantizer: pyspark.ml KMeans over the vectors; returns
+    (model, assignments DataFrame with a ``cell`` column). The ANN scale
+    path: search only the query's nearest ``nprobe`` cells."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = emb.withColumn("fv", array_to_vector(F.col("embedding").cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="fv").fit(data)
+    assigned = model.transform(data).withColumnRenamed("prediction", "cell").drop("fv")
+    return model, assigned
+
+
+def ivf_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5, n_cells: int = 16, nprobe: int = 4
+) -> DataFrame:
+    """Approximate top-k via IVF: for each query, rank its vector against
+    candidates in the ``nprobe`` nearest cells only."""
+    import numpy as np
+
+    model, assigned = kmeans_ivf(emb, n_cells=n_cells)
+    centers = np.vstack([c for c in model.clusterCenters()])
+    q_rows = assigned.where(F.col("vec_id").isin(query_ids)).select("vec_id", "embedding").collect()
+    probe = []
+    for r in q_rows:
+        v = np.asarray(r["embedding"], dtype=float)
+        d = ((centers - v) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:nprobe]:
+            probe.append((r["vec_id"], int(cell)))
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(probe, "query_id long, cell int")
+    q = assigned.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("a")
+    )
+    cand = assigned.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("b"), "cell")
+    pairs = (
+        F.broadcast(probe_df.join(q, "query_id"))
+        .join(cand, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = _with_cosine(pairs)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def signlsh_topk(emb: DataFrame, query_ids: list[int], k: int = 3, n_planes: int = 8) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-LSH
     bucket (then exact cosine within the bucket)."""

@@ -270,6 +270,20 @@ def q_ann_signlsh(spark, sf_dir):
     return signlsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=3)
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    from ts_raster_spark.operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF (k-means cells, nprobe=4) approximate top-k — rows-only
+    (k-means iterations are not SQL-reproducible)."""
+    from ts_raster_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=5)
+
+
 def q_lang_id(spark, sf_dir):
     from ts_raster_spark.operators.textstats import lang_id
 
