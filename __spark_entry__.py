@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_wide_features": Q.q_export_wide_features,
         "asof_join": Q.q_asof_join,
         "session_windows": Q.q_session_windows,
+        "moving_stats": Q.q_moving_stats,
+        "stratified_sample": Q.q_stratified_sample,
         # Arrow-kernel / compression paths — intentionally no oracle_sql
         # (CWT + binary blocks are not SQL-expressible); driver records
         # the weaker rows-only check.
@@ -445,6 +447,22 @@ SELECT conv_id,
     coalesce(round(latency_s_mean, 4), -9999.0) AS latency_s_mean,
     coalesce(round(latency_s_max, 4), -9999.0) AS latency_s_max
 FROM piv
+""",
+        "moving_stats": f"""{LONG_CTE}
+SELECT conv_id, turn_idx,
+    round(avg(value) OVER w5, 4) AS rolling_mean_5,
+    round(max(value) OVER w5, 4) AS rolling_max_5,
+    count(value) OVER w5 AS rolling_n
+FROM long_panel WHERE kind = 'text_len'
+WINDOW w5 AS (PARTITION BY conv_id ORDER BY turn_idx, ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+        "stratified_sample": f"""{TURNS_CTE}
+SELECT conv_id, turn_idx, role
+FROM turns
+WHERE substr(md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)), 1, 8) <
+    CASE WHEN role = 'user' THEN '{frac_hex(0.2)}'
+         WHEN role = 'assistant' THEN '{frac_hex(0.1)}'
+         ELSE '{frac_hex(0.5)}' END
 """,
         "dedup_exact": DD.exact_dedup_sql(),
         "dedup_ngram_jaccard": DD.jaccard_sql(0.8),

@@ -463,6 +463,40 @@ def q_compress_roundtrip(spark, sf_dir):
     )
 
 
+def q_moving_stats(spark, sf_dir):
+    """Rolling per-conversation stats over the trailing 5 turns
+    (frame-spec window breadth: ROWS BETWEEN 4 PRECEDING AND CURRENT)."""
+    long_df = load_long(spark, sf_dir).where(F.col("kind") == "text_len")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx", "ts")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    out = long_df.select(
+        "conv_id",
+        "turn_idx",
+        F.round(F.avg("value").over(w), 4).alias("rolling_mean_5"),
+        F.round(F.max("value").over(w), 4).alias("rolling_max_5"),
+        F.count("value").over(w).cast("long").alias("rolling_n"),
+    )
+    return out
+
+
+def q_stratified_sample(spark, sf_dir):
+    """sampleBy analog: per-role hash-sampling fractions (user 20%,
+    assistant 10%, rest 50%) — deterministic, engine-independent."""
+    from ts_raster_spark.operators.ml_prep import frac_hex, hash_bucket
+
+    t = hash_bucket(load_turns(spark, sf_dir), ["conv_id", "turn_idx"])
+    thresh = (
+        F.when(F.col("role") == "user", F.lit(frac_hex(0.2)))
+        .when(F.col("role") == "assistant", F.lit(frac_hex(0.1)))
+        .otherwise(F.lit(frac_hex(0.5)))
+    )
+    out = t.where(F.col("_h8") < thresh).select("conv_id", "turn_idx", "role")
+    return out
+
+
 def q_balanced_panel_check(spark, sf_dir):
     """prep.py:721-724 analog: per-(conv, kind) bucket-count balance
     check against the panel-wide maximum."""
