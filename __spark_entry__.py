@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ts_raster_spark import queries as Q
 from ts_raster_spark.operators.ml_prep import frac_hex
 from ts_raster_spark.sql import duck_docs as DD
-from ts_raster_spark.sql.duck_features import feature_select, stats_cte
+from ts_raster_spark.sql.duck_features import feature_select, sql_r4, stats_cte
 from ts_raster_spark.sql.oracle_prefix import LONG_CTE, TURNS_CTE
 
 TS_FMT = "%Y-%m-%d %H:%M:%S"
@@ -241,14 +241,14 @@ FROM filled
 """
 
 
-_CASCADE_COLS = """
+_CASCADE_COLS = f"""
     count(value) AS turn_count,
-    round(sum(value), 4) AS sum_values,
-    round(sum(value * value), 4) AS sum_squares,
-    round(min(value), 4) AS minimum,
-    round(max(value), 4) AS maximum,
-    round(avg(value), 4) AS mean,
-    round(var_pop(value), 4) AS variance
+    {sql_r4('sum(value)')} AS sum_values,
+    {sql_r4('sum(value * value)')} AS sum_squares,
+    {sql_r4('min(value)')} AS minimum,
+    {sql_r4('max(value)')} AS maximum,
+    {sql_r4('avg(value)')} AS mean,
+    {sql_r4('var_pop(value)')} AS variance
 """
 
 

@@ -27,6 +27,18 @@ from ts_raster_spark.sources.turns import derive_turns_from_events
 ROUND_N = 4
 
 
+def r4(c: F.Column) -> F.Column:
+    """Magnitude-aware rounding: 4 decimals below 1e6, else 10
+    significant digits (fixed decimal places can't absorb float ulp at
+    1e11+ magnitudes — cross-engine last-bit differences would surface).
+    `round(x/p)*p` with p = 10^(floor(log10|x|) − 9) replicates exactly
+    in any SQL engine (Spark's round() needs a literal scale)."""
+    absx = F.abs(c)
+    p = F.pow(F.lit(10.0), F.floor(F.log10(absx)) - 9)
+    big = F.round(c / p) * p
+    return F.when(absx >= 1e6, big).otherwise(F.round(c, ROUND_N))
+
+
 def load_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return derive_turns_from_events(events)
@@ -42,11 +54,11 @@ def finalize(df: DataFrame, ts_fmt: str = "yyyy-MM-dd HH:mm:ss") -> DataFrame:
     for f in df.schema.fields:
         c = F.col(f.name)
         if isinstance(f.dataType, T.DoubleType):
-            cols.append(F.round(c, ROUND_N).alias(f.name))
+            cols.append(r4(c).alias(f.name))
         elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
             cols.append(F.date_format(c, ts_fmt).alias(f.name))
         elif isinstance(f.dataType, T.FloatType):
-            cols.append(F.round(c.cast("double"), ROUND_N).alias(f.name))
+            cols.append(r4(c.cast("double")).alias(f.name))
         else:
             cols.append(c.alias(f.name))
     return df.select(*cols)

@@ -13,8 +13,20 @@ from __future__ import annotations
 ROUND_N = 4  # double outputs rounded identically on both sides
 
 
+def sql_r4(expr: str) -> str:
+    """DuckDB twin of queries.r4: 4 decimals below 1e6, else 10
+    significant digits via round(x/p)*p."""
+    e = f"({expr})"
+    p = f"power(10, floor(log10(abs({e}))) - 9)"
+    return (
+        f"CASE WHEN abs({e}) >= 1000000.0 "
+        f"THEN round({e} / {p}) * {p} "
+        f"ELSE round({e}, {ROUND_N}) END"
+    )
+
+
 def r(expr: str, name: str) -> str:
-    return f"round(({expr}), {ROUND_N}) AS {name}"
+    return f"{sql_r4(expr)} AS {name}"
 
 
 # Window-attached helper columns over the rollup keys (mu/sigma/extrema/rn/lags).
