@@ -252,7 +252,20 @@ _CASCADE_COLS = f"""
 """
 
 
+def _nudge_rounds(sql: str) -> str:
+    """Apply the +1e-9 rounding nudge (functions/norm.py contract) to
+    every plain round(x, 4) in an oracle query; sql_r4-generated sites
+    already carry it."""
+    import re
+
+    return re.sub(r"(?<!1e-9), 4\)", " + 1e-9, 4)", sql)
+
+
 def oracle_sql() -> dict[str, str]:
+    return {k: _nudge_rounds(v) for k, v in _oracle_sql_raw().items()}
+
+
+def _oracle_sql_raw() -> dict[str, str]:
     return {
         "turns_derivation": f"""{TURNS_CTE}
 SELECT conv_id, turn_idx, role, text, tool, strftime(ts, '{TS_FMT_US}') AS ts FROM turns

@@ -42,7 +42,10 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     a, b = norm(sdf), norm(odf)
     if len(a) == len(b):
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1.5e-4)
+            # EXACT post-normalization equality — the driver value-hashes,
+            # so a single last-decimal rounding-boundary collision fails.
+            # The gate data is deterministic: exact-pass once = always.
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-12)
         except AssertionError as e:
             problems.append(f"values: {str(e).splitlines()[-1][:400]}")
     return problems

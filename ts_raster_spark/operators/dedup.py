@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ts_raster_spark.functions.norm import r4
+
 TOKENIZE = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
 SHINGLES = (
     "transform(sequence(0, size(tokens) - 3), "
@@ -78,7 +80,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, max_df: int | N
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .select("doc_a", "doc_b", r4(F.col("jaccard")).alias("jaccard"))
     )
     return out
 

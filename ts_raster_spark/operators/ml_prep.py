@@ -26,6 +26,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ts_raster_spark.functions.norm import r4
+
 
 def frac_hex(fraction: float) -> str:
     """8-hex-digit threshold: compare ``substring(md5(key),1,8)`` as a
@@ -107,8 +109,8 @@ def feature_relevance(xy: DataFrame, target_col: str, feature_cols: list[str], t
             "relevant",
             F.coalesce((F.abs(F.col("pearson_r")) >= 0.1).cast("int"), F.lit(0)),
         )
-        .select("feature", F.round("pearson_r", 4).alias("pearson_r"),
-                F.round("abs_r", 4).alias("abs_r"), "relevant")
+        .select("feature", r4(F.col("pearson_r")).alias("pearson_r"),
+                r4(F.col("abs_r")).alias("abs_r"), "relevant")
     )
     if top_n:
         out = out.orderBy(F.col("abs_r").desc()).limit(top_n)

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ts_raster_spark.functions.norm import r4
+
 DOT = "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
 NORM = "sqrt(aggregate({c}, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))"
 
@@ -27,9 +29,7 @@ NORM = "sqrt(aggregate({c}, 0D, (acc, v) -> acc + cast(v as double) * cast(v as 
 def _with_cosine(pairs: DataFrame) -> DataFrame:
     return pairs.withColumn(
         "cosine",
-        F.round(
-            F.expr(DOT) / (F.expr(NORM.format(c="a")) * F.expr(NORM.format(c="b"))), 4
-        ),
+        r4(F.expr(DOT) / (F.expr(NORM.format(c="a")) * F.expr(NORM.format(c="b")))),
     )
 
 

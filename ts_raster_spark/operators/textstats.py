@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ts_raster_spark.functions.norm import r4
+
 # language → characteristic stopwords (padded occurrences counted via
 # the replace-length trick, identical semantics in any SQL engine)
 LANG_MARKERS = {
@@ -48,7 +50,7 @@ def lang_id(docs: DataFrame, min_score: float = 1.0) -> DataFrame:
     for lg in reversed(langs):  # earlier langs win ties -> apply last
         pred = F.when(F.col(f"score_{lg}") == best_score, F.lit(lg)).otherwise(pred)
     pred = F.when(best_score >= min_score, pred).otherwise(F.lit("unknown"))
-    return s.select("doc_id", pred.alias("lang_pred"), F.round(best_score, 4).alias("lang_score"))
+    return s.select("doc_id", pred.alias("lang_pred"), r4(best_score).alias("lang_score"))
 
 
 TOKEN_SPLIT = "filter(split(trim(text), '[ ]+'), x -> x != '')"
@@ -90,9 +92,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
     return j.select(
         "doc_id",
-        F.round(score, 4).alias("quality"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
+        r4(score).alias("quality"),
+        r4(stop_ratio).alias("stopword_ratio"),
+        r4(mean_word_len).alias("mean_word_len"),
     )
 
 

@@ -24,19 +24,7 @@ from ts_raster_spark.operators.mask import mask_df, unmask_df
 from ts_raster_spark.operators.rollup import rollup_features, rollup_simple
 from ts_raster_spark.sources.turns import derive_turns_from_events
 
-ROUND_N = 4
-
-
-def r4(c: F.Column) -> F.Column:
-    """Magnitude-aware rounding: 4 decimals below 1e6, else 10
-    significant digits (fixed decimal places can't absorb float ulp at
-    1e11+ magnitudes — cross-engine last-bit differences would surface).
-    `round(x/p)*p` with p = 10^(floor(log10|x|) − 9) replicates exactly
-    in any SQL engine (Spark's round() needs a literal scale)."""
-    absx = F.abs(c)
-    p = F.pow(F.lit(10.0), F.floor(F.log10(absx)) - 9)
-    big = F.round(c / p) * p
-    return F.when(absx >= 1e6, big).otherwise(F.round(c, ROUND_N))
+from ts_raster_spark.functions.norm import ROUND_N, r4  # noqa: E402
 
 
 def load_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,7 +373,7 @@ def q_combine_periods(spark, sf_dir):
     frames = {
         label: df.groupBy("conv_id").agg(
             F.count("*").cast("long").alias("turn_count"),
-            F.round(F.avg(F.length("text")), 4).alias("mean_text_len"),
+            r4(F.avg(F.length("text"))).alias("mean_text_len"),
         )
         for label, df in halves.items()
     }
@@ -403,7 +391,7 @@ def q_asof_join(spark, sf_dir):
         load_long(spark, sf_dir).where(F.col("kind") == "text_len"),
         "hour",
         aggs={"bucket_mean": F.avg("value")},
-    ).select("conv_id", "bucket_start", F.round("bucket_mean", 4).alias("bucket_mean"))
+    ).select("conv_id", "bucket_start", r4(F.col("bucket_mean")).alias("bucket_mean"))
     out = asof_join_backward(t, pts, key="conv_id", left_ts="ts", right_ts="bucket_start",
                              value_cols=["bucket_mean"])
     return finalize(out.select("conv_id", "turn_idx", "ts", "bucket_mean"),
@@ -432,11 +420,11 @@ def q_export_wide_features(spark, sf_dir):
     out = wide.select(
         "conv_id",
         F.coalesce(F.col("text_len_n").cast("long"), F.lit(0)).alias("text_len_n"),
-        F.coalesce(F.round("text_len_mean", 4), F.lit(-9999.0)).alias("text_len_mean"),
-        F.coalesce(F.round("text_len_max", 4), F.lit(-9999.0)).alias("text_len_max"),
+        F.coalesce(r4(F.col("text_len_mean")), F.lit(-9999.0)).alias("text_len_mean"),
+        F.coalesce(r4(F.col("text_len_max")), F.lit(-9999.0)).alias("text_len_max"),
         F.coalesce(F.col("latency_s_n").cast("long"), F.lit(0)).alias("latency_s_n"),
-        F.coalesce(F.round("latency_s_mean", 4), F.lit(-9999.0)).alias("latency_s_mean"),
-        F.coalesce(F.round("latency_s_max", 4), F.lit(-9999.0)).alias("latency_s_max"),
+        F.coalesce(r4(F.col("latency_s_mean")), F.lit(-9999.0)).alias("latency_s_mean"),
+        F.coalesce(r4(F.col("latency_s_max")), F.lit(-9999.0)).alias("latency_s_max"),
     )
     return out
 
@@ -487,8 +475,8 @@ def q_moving_stats(spark, sf_dir):
     out = long_df.select(
         "conv_id",
         "turn_idx",
-        F.round(F.avg("value").over(w), 4).alias("rolling_mean_5"),
-        F.round(F.max("value").over(w), 4).alias("rolling_max_5"),
+        r4(F.avg("value").over(w)).alias("rolling_mean_5"),
+        r4(F.max("value").over(w)).alias("rolling_max_5"),
         F.count("value").over(w).cast("long").alias("rolling_n"),
     )
     return out

@@ -18,10 +18,11 @@ def sql_r4(expr: str) -> str:
     significant digits via round(x/p)*p."""
     e = f"({expr})"
     p = f"power(10, floor(log10(abs({e}))) - 9)"
+    # the +1e-9 nudge mirrors queries.r4 (see its docstring)
     return (
         f"CASE WHEN abs({e}) >= 1000000.0 "
-        f"THEN round({e} / {p}) * {p} "
-        f"ELSE round({e}, {ROUND_N}) END"
+        f"THEN round({e} / {p} + 1e-9) * {p} "
+        f"ELSE round({e} + 1e-9, {ROUND_N}) END"
     )
 
 
