@@ -8,6 +8,7 @@ hash. Usage:  python tools/check_correctness.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -54,7 +55,8 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    cpus = os.environ.get("TSRS_CHECK_CPUS", "8")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(int(cpus), 8))
     spark.sparkContext.setLogLevel("FATAL")
     con = duckdb.connect()
     for t in TABLE_NAMES:
