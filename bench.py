@@ -142,6 +142,11 @@ def run(cpus: int, sf_dir: str, n_synth: int, skip_synth: bool = False, reps: in
             lambda: pipeline_tiers_to_storage(spark, turns_syn, os.path.join(BENCH_TMP, f"tiers_syn_{cpus}")),
         )
         meta["synth_turns_per_sec"] = round(n_syn / timings["e2e_tiers_synth"], 1)
+        # reference comparison: ts-raster processes ≈14.7k series values/s
+        # (README.md:127: 8.79M values in 597 s). One turn here feeds ~6
+        # channel values through the same extract-style pipeline.
+        meta["synth_values_per_sec"] = round(n_syn * 6 / timings["e2e_tiers_synth"], 1)
+        meta["reference_values_per_sec"] = 14700
 
         timed("rollup_hour_full_synth", lambda: _force(rollup_features(to_long_panel(turns_syn), tier="hour")))
 
