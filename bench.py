@@ -35,7 +35,11 @@ from ts_raster_spark.datagen import gen_turns  # noqa: E402
 from ts_raster_spark.operators.cascade import cascade_up  # noqa: E402
 from ts_raster_spark.operators.gapfill import gapfill  # noqa: E402
 from ts_raster_spark.operators.longform import to_long_panel  # noqa: E402
-from ts_raster_spark.operators.rollup import rollup_features, rollup_simple  # noqa: E402
+from ts_raster_spark.operators.rollup import (  # noqa: E402
+    rollup_features,
+    rollup_simple,
+    rollup_simple_wide,
+)
 from ts_raster_spark.session import get_spark  # noqa: E402
 from ts_raster_spark.sources.turns import derive_turns_from_events  # noqa: E402
 
@@ -53,8 +57,7 @@ def pipeline_tiers_to_storage(spark, turns, out_root):
     next tier derived from the written finer tier — the real retention
     cascade shape (each coarser tier reads ~1/60 of the bytes below it;
     nothing in the lineage is recomputed)."""
-    long_df = to_long_panel(turns)
-    minute = rollup_simple(long_df, "minute")
+    minute = rollup_simple_wide(turns, "minute")  # wide path: ~2x cheaper than stack-then-agg
     p_min = os.path.join(out_root, "minute")
     minute.write.mode("overwrite").parquet(p_min)
     hour = cascade_up(spark.read.parquet(p_min), "hour")

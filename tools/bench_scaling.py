@@ -59,7 +59,7 @@ import time, os, sys, json
 sys.path.insert(0, {repo!r})
 from ts_raster_spark.session import get_spark
 import ts_raster_spark.operators.longform as LF
-from ts_raster_spark.operators.rollup import rollup_simple, rollup_features
+from ts_raster_spark.operators.rollup import rollup_simple, rollup_simple_wide, rollup_features
 from ts_raster_spark.operators.cascade import cascade_up
 from pyspark.sql import functions as F
 
@@ -81,7 +81,7 @@ def timed(name, fn, reps=2, warm=True):
     res[name] = round(best, 2)
 
 def e2e():
-    m = rollup_simple(LF.to_long_panel(turns), "minute")
+    m = rollup_simple_wide(turns, "minute")
     m.write.mode("overwrite").parquet({repo!r} + f"/.bench_tmp/sc_min_{{cpus}}")
     h = cascade_up(spark.read.parquet({repo!r} + f"/.bench_tmp/sc_min_{{cpus}}"), "hour")
     h.write.mode("overwrite").parquet({repo!r} + f"/.bench_tmp/sc_hr_{{cpus}}")

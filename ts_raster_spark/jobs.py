@@ -23,7 +23,7 @@ from ts_raster_spark.operators.compress import compress_blocks
 from ts_raster_spark.operators.gapfill import gapfill
 from ts_raster_spark.operators.longform import to_long_panel
 from ts_raster_spark.operators.mask import mask_df
-from ts_raster_spark.operators.rollup import rollup_simple
+from ts_raster_spark.operators.rollup import rollup_simple, rollup_simple_wide
 from ts_raster_spark.plans.checkpoint import run_checkpointed
 from ts_raster_spark.sources.catalog import ParquetTierCatalog
 
@@ -51,10 +51,7 @@ def run_rollup_job(
         turns = mask_df(turns, mask)
 
     def to_minute(part: DataFrame) -> DataFrame:
-        long_df = to_long_panel(part)
-        if cfg.kinds:
-            long_df = long_df.where(long_df.kind.isin(*cfg.kinds))
-        return rollup_simple(long_df, "minute")
+        return rollup_simple_wide(part, "minute", channels=cfg.kinds or None)
 
     counts: dict[str, int] = {}
     if cfg.checkpoint_slices > 0:

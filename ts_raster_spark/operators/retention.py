@@ -20,8 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ts_raster_spark.operators.longform import to_long_panel
-from ts_raster_spark.operators.rollup import rollup_simple
+from ts_raster_spark.operators.rollup import rollup_simple_wide
 from ts_raster_spark.sources.catalog import ParquetTierCatalog
 
 KEYS = ["conv_id", "kind", "bucket_start"]
@@ -45,9 +44,6 @@ def merge_late_turns(
     existing = cat.read(spark, tier_table)
     rows_before = existing.count()
 
-    late_long = to_long_panel(late_turns)
-    if kinds:
-        late_long = late_long.where(F.col("kind").isin(*kinds))
     # A late turn changes its own bucket for every channel, and (via the
     # latency channel) the FOLLOWING turn's bucket; recompute the whole
     # conversation-bucket set touched by the late conv_ids' affected
@@ -55,10 +51,7 @@ def merge_late_turns(
     # conversations (a conversation is tiny relative to the table).
     affected_convs = late_turns.select("conv_id").distinct()
     raw_affected = all_turns.join(F.broadcast(affected_convs), "conv_id", "left_semi")
-    long_df = to_long_panel(raw_affected)
-    if kinds:
-        long_df = long_df.where(F.col("kind").isin(*kinds))
-    recomputed = rollup_simple(long_df, tier)
+    recomputed = rollup_simple_wide(raw_affected, tier, channels=kinds or None)
 
     kept = existing.join(F.broadcast(affected_convs), "conv_id", "left_anti")
     # localCheckpoint truncates lineage so the table path can be
