@@ -11,7 +11,13 @@ compares exactly.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the driver may import this module by file path; make the sibling
+# package importable regardless of the caller's sys.path
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
