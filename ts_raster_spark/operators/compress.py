@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ts_raster_spark.compression.chimp import decode_values_chimp, encode_values_chimp
 from ts_raster_spark.compression.gorilla import (
     decode_timestamps,
     decode_values,
@@ -29,19 +30,25 @@ from ts_raster_spark.compression.gorilla import (
     encode_values,
 )
 
+VALUE_CODECS = {
+    "gorilla": (encode_values, decode_values),
+    "chimp": (encode_values_chimp, decode_values_chimp),
+}
+
 BLOCK_SCHEMA = (
     "conv_id string, kind string, block_start timestamp, "
-    "n long, ts_block binary, val_block binary"
+    "n long, codec string, ts_block binary, val_block binary"
 )
 
 POINT_SCHEMA = "conv_id string, kind string, ts timestamp, value double"
 
 
-def _encode_series(pdf: pd.DataFrame) -> pd.DataFrame:
+def _encode_series(pdf: pd.DataFrame, codec: str = "gorilla") -> pd.DataFrame:
     """Encode every time block of one (conv_id, kind) series in a single
     kernel call — grouping at block granularity would pay the Arrow
     per-group overhead (~ms) for every tiny block; per-series grouping
     amortizes it ~30× while a block-keyed output still bounds the rows."""
+    enc_vals = VALUE_CODECS[codec][0]
     pdf = pdf.sort_values(["turn_idx", "ts"]) if "turn_idx" in pdf.columns else pdf.sort_values("ts")
     rows = []
     for b, sub in pdf.groupby("block_start", sort=True):
@@ -53,22 +60,25 @@ def _encode_series(pdf: pd.DataFrame) -> pd.DataFrame:
                 sub["kind"].iloc[0],
                 b,
                 len(sub),
+                codec,
                 encode_timestamps(ts_us),
-                encode_values(vals),
+                enc_vals(vals),
             )
         )
-    return pd.DataFrame(rows, columns=["conv_id", "kind", "block_start", "n", "ts_block", "val_block"])
+    return pd.DataFrame(rows, columns=["conv_id", "kind", "block_start", "n", "codec", "ts_block", "val_block"])
 
 
-def compress_blocks(long_df: DataFrame, block: str = "day") -> DataFrame:
+def compress_blocks(long_df: DataFrame, block: str = "day", codec: str = "gorilla") -> DataFrame:
     """long panel (conv_id, turn_idx, ts, kind, value) → Gorilla blocks.
 
     One applyInPandas group per (conv_id, kind); a mega-conversation's
     full channel must fit a task (~16 MB per 1M turns) — beyond that,
     add a coarse time salt to the grouping keys (SURVEY.md §4)."""
+    if codec not in VALUE_CODECS:
+        raise ValueError(f"unknown codec {codec!r}; want one of {sorted(VALUE_CODECS)}")
     keyed = long_df.withColumn("block_start", F.date_trunc(block, F.col("ts")))
     return keyed.groupBy("conv_id", "kind").applyInPandas(
-        _encode_series, schema=BLOCK_SCHEMA
+        lambda pdf: _encode_series(pdf, codec), schema=BLOCK_SCHEMA
     )
 
 
@@ -77,7 +87,7 @@ def _decode_batches(batches):
         frames = []
         for row in pdf.itertuples(index=False):
             ts = decode_timestamps(bytes(row.ts_block)).view("datetime64[us]")
-            vals = decode_values(bytes(row.val_block))
+            vals = VALUE_CODECS[getattr(row, "codec", "gorilla")][1](bytes(row.val_block))
             frames.append(
                 pd.DataFrame(
                     {
