@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": Q.q_session_windows,
         "moving_stats": Q.q_moving_stats,
         "stratified_sample": Q.q_stratified_sample,
+        "time_weighted_avg": Q.q_time_weighted_avg,
         # Arrow-kernel / compression paths — intentionally no oracle_sql
         # (CWT + binary blocks are not SQL-expressible); driver records
         # the weaker rows-only check.
@@ -466,6 +467,30 @@ SELECT conv_id,
     coalesce(round(latency_s_mean, 4), -9999.0) AS latency_s_mean,
     coalesce(round(latency_s_max, 4), -9999.0) AS latency_s_max
 FROM piv
+""",
+        "time_weighted_avg": f"""{LONG_CTE},
+base AS (
+    SELECT conv_id, kind, turn_idx, ts, value,
+        date_trunc('hour', ts) AS bucket_start,
+        epoch(ts) AS t,
+        epoch(date_trunc('hour', ts)) + 3600 AS bucket_end,
+        lead(epoch(ts)) OVER w AS next_t,
+        lead(date_trunc('hour', ts)) OVER w AS next_bucket
+    FROM long_panel WHERE kind = 'text_len'
+    WINDOW w AS (PARTITION BY conv_id, kind ORDER BY turn_idx, ts)
+),
+weighted AS (
+    SELECT conv_id, kind, bucket_start, value,
+        CASE WHEN row_number() OVER (PARTITION BY conv_id, kind, bucket_start ORDER BY turn_idx, ts) = 1
+             THEN bucket_end - 3600 ELSE t END AS t_from,
+        CASE WHEN next_t IS NOT NULL AND next_bucket = bucket_start THEN next_t
+             ELSE bucket_end END AS t_until
+    FROM base
+)
+SELECT conv_id, kind, strftime(bucket_start, '{TS_FMT}') AS bucket_start,
+    {sql_r4('sum(value * (t_until - t_from)) / sum(t_until - t_from)')} AS twa,
+    count(*) AS n_obs
+FROM weighted GROUP BY conv_id, kind, bucket_start
 """,
         "moving_stats": f"""{LONG_CTE}
 SELECT conv_id, turn_idx,

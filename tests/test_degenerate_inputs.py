@@ -66,3 +66,20 @@ def test_session_windows_empty(spark, empty_turns):
     from ts_raster_spark.operators.asof import session_windows
 
     assert session_windows(empty_turns).count() == 0
+
+
+def test_null_text_turns(spark):
+    """Schema allows null text; length(null) is null, so the text_len
+    channel simply drops those turns (sentinel-free null policy)."""
+    import datetime as dt
+
+    rows = [
+        ("n1", 0, "user", None, None, dt.datetime(2024, 1, 1, 0, 0)),
+        ("n1", 1, "assistant", "ok", None, dt.datetime(2024, 1, 1, 0, 1)),
+    ]
+    t = spark.createDataFrame(rows, TURNS_SCHEMA)
+    long_df = to_long_panel(t)
+    tl = long_df.where("kind = 'text_len'").toPandas()
+    assert len(tl) == 1 and tl.iloc[0]["value"] == 2.0
+    # role/tool channels still cover both turns
+    assert long_df.where("kind = 'role_user'").count() == 2

@@ -63,6 +63,43 @@ def asof_join_backward(
     )
 
 
+def time_weighted_avg_hour(long_df: DataFrame) -> DataFrame:
+    """Time-weighted average per (conv_id, kind, hour bucket) for
+    irregularly-sampled series (the TimescaleDB-style continuous
+    aggregate): each observation is weighted by how long it 'held' —
+    until the next observation or the bucket end, whichever is sooner;
+    the bucket's first observation also back-fills from the bucket start
+    (locf-at-boundary convention). Pure window + aggregate SQL.
+
+    Output: (conv_id, kind, bucket_start, twa, n_obs)."""
+    from ts_raster_spark.operators.longform import epoch_seconds
+
+    w = Window.partitionBy("conv_id", "kind").orderBy("turn_idx", "ts")
+    d = (
+        long_df.withColumn("bucket_start", F.date_trunc("hour", F.col("ts")))
+        .withColumn("_t", epoch_seconds(F.col("ts")))
+        .withColumn("_bucket_end", epoch_seconds(F.col("bucket_start")) + 3600)
+        .withColumn("_next_t", F.lead("_t").over(w))
+        .withColumn("_next_bucket", F.lead("bucket_start").over(w))
+    )
+    # weight: from max(obs time, bucket start at first obs) to
+    # min(next obs in same bucket, bucket end)
+    hold_until = F.when(
+        F.col("_next_t").isNotNull() & (F.col("_next_bucket") == F.col("bucket_start")),
+        F.col("_next_t"),
+    ).otherwise(F.col("_bucket_end"))
+    w_first = Window.partitionBy("conv_id", "kind", "bucket_start").orderBy("turn_idx", "ts")
+    d = d.withColumn("_rn_b", F.row_number().over(w_first)).withColumn(
+        "_from",
+        F.when(F.col("_rn_b") == 1, F.col("_bucket_end") - 3600).otherwise(F.col("_t")),
+    )
+    d = d.withColumn("_wt", hold_until - F.col("_from"))
+    return d.groupBy("conv_id", "kind", "bucket_start").agg(
+        (F.sum(F.col("value") * F.col("_wt")) / F.sum("_wt")).alias("twa"),
+        F.count("*").cast("long").alias("n_obs"),
+    )
+
+
 def session_windows(turns: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-conversation activity sessions: turns closer than ``gap``
     merge into one session (native merging session aggregation).

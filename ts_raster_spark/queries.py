@@ -398,6 +398,14 @@ def q_asof_join(spark, sf_dir):
                     ts_fmt="yyyy-MM-dd HH:mm:ss.SSSSSS")
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted hourly average of text_len (irregular sampling)."""
+    from ts_raster_spark.operators.asof import time_weighted_avg_hour
+
+    long_df = load_long(spark, sf_dir).where(F.col("kind") == "text_len")
+    return finalize(time_weighted_avg_hour(long_df))
+
+
 def q_session_windows(spark, sf_dir):
     """Native merging session windows (30 min inactivity gap)."""
     from ts_raster_spark.operators.asof import session_windows
