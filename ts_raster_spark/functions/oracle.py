@@ -256,7 +256,68 @@ def permutation_entropy(x, tau: int = 1, dimension: int = 3):
     return float(-np.sum(p * np.log(p)))
 
 
+def benford_correlation(x):
+    """tsfresh benford_correlation: Pearson r between the observed
+    leading-digit distribution and Benford's law."""
+    x = np.asarray(x, dtype=float)
+    x = x[~np.isnan(x)]
+    if len(x) == 0:
+        return np.nan
+    with np.errstate(divide="ignore", invalid="ignore"):
+        digits = np.array(
+            [int(str(np.format_float_scientific(v))[0]) if v != 0 else 0 for v in np.abs(x)]
+        )
+    benford = np.log10(1 + 1 / np.arange(1, 10))
+    counts = np.array([(digits == d).sum() for d in range(1, 10)], dtype=float)
+    if counts.sum() == 0:
+        return np.nan
+    obs = counts / counts.sum()
+    if np.std(obs) == 0:
+        return np.nan
+    return float(np.corrcoef(benford, obs)[0, 1])
+
+
+def lempel_ziv_complexity(x, bins: int = 10):
+    """tsfresh lempel_ziv_complexity: discretize into equal-width bins,
+    count LZ76 dictionary growth, normalize by series length."""
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if n == 0:
+        return np.nan
+    lo, hi = np.min(x), np.max(x)
+    seq = (
+        np.zeros(n, dtype=int)
+        if hi == lo
+        else np.minimum(((x - lo) / (hi - lo) * bins).astype(int), bins - 1)
+    )
+    subs = set()
+    i, k = 0, 1
+    while i + k <= n:
+        word = tuple(seq[i : i + k])
+        if word in subs:
+            k += 1
+        else:
+            subs.add(word)
+            i += k
+            k = 1
+    return float(len(subs) / n)
+
+
+def energy_ratio_by_chunks(x, num_segments: int = 10, segment_focus: int = 0):
+    """tsfresh energy_ratio_by_chunks: energy of chunk `segment_focus`
+    over total energy (chunks via np.array_split)."""
+    x = np.asarray(x, dtype=float)
+    full = np.sum(x * x)
+    if full == 0 or len(x) == 0:
+        return np.nan
+    chunk = np.array_split(x, num_segments)[segment_focus]
+    return float(np.sum(chunk * chunk) / full)
+
+
 ORACLES = {
+    "benford_correlation": benford_correlation,
+    "lempel_ziv_complexity_b10": lambda x: lempel_ziv_complexity(x, 10),
+    "energy_ratio_chunk0_of10": lambda x: energy_ratio_by_chunks(x, 10, 0),
     "number_crossing_0": lambda x: number_crossing_m(x, 0.0),
     "binned_entropy_10": lambda x: binned_entropy(x, 10),
     "sample_entropy": sample_entropy,
