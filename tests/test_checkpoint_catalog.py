@@ -94,3 +94,18 @@ def test_catalog_idempotent_rewrite(spark, turns_small, tmp_path):
     cat.write(hour, "t")  # rerun: dynamic overwrite, not append
     n2 = cat.read(spark, "t").count()
     assert n1 == n2
+
+
+def test_read_result_ignores_stale_slices(spark, turns_small, tmp_path):
+    """Resuming with a smaller n_slices must not union stale slice dirs
+    from the previous layout (read_result reads manifest paths only)."""
+    out = str(tmp_path / "ckpt_stale")
+    run_checkpointed(spark, turns_small, _transform, out, n_slices=8)
+    ref = read_result(spark, out).count()
+    # wipe the manifest (simulating a layout change) and re-run with 4
+    import os as _os
+
+    _os.remove(_os.path.join(out, "manifest.jsonl"))
+    run_checkpointed(spark, turns_small, _transform, out, n_slices=4)
+    got = read_result(spark, out).count()
+    assert got == ref  # stale slice=4..7 dirs exist on disk but are not read

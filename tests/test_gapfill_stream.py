@@ -54,3 +54,26 @@ def test_stream_locf_state_spans_microbatches(spark, tmp_path, turns_small):
     first_fill = got.where("filled = 1").agg(F.min("bucket_start")).first()[0]
     if first_fill is not None:
         assert first_fill > first_obs
+
+
+def test_stream_locf_out_of_order_event_time(spark, tmp_path):
+    """A turn whose ts regresses must emit a correction row without
+    rewinding locf state or duplicating already-emitted buckets."""
+    rows = [
+        ("c2", 0, "user", "aa", None, _t(0)),
+        ("c2", 1, "assistant", "bbbb", None, _t(4)),   # fills 1,2,3
+        ("c2", 2, "user", "cc", None, _t(2)),          # OUT OF ORDER
+        ("c2", 3, "assistant", "dddddd", None, _t(5)),
+    ]
+    d = str(tmp_path / "in3")
+    spark.createDataFrame(rows, TURNS_SCHEMA).coalesce(1).write.parquet(d)
+    out = stream_locf_minute(stream_turns(spark, d))
+    run_to_memory(out, "locf_stream_t3", output_mode="append")
+    got = spark.table("locf_stream_t3").orderBy("bucket_start", "filled").toPandas()
+    # bucket 10:02 appears twice: once filled (from the gap), once as the
+    # late correction; no bucket is lost and 10:05 still observed
+    b2 = got[got.bucket_start == _t(2)]
+    assert set(b2["filled"]) == {0, 1}
+    assert (got[got.bucket_start == _t(4)]["value"] == 4.0).all()
+    assert (got[got.bucket_start == _t(5)]["value"] == 6.0).all()
+    assert _t(3) in set(got["bucket_start"])

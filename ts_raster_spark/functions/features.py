@@ -203,7 +203,15 @@ def autocorrelation_agg(lag: int = 1) -> dict[str, Column]:
 
     With LAG1 attached, each row t>lag contributes (x_t-mu)(x_{t-lag}-mu)
     — an index shift that leaves the sum identical.
+
+    Only lag=1 is wired to an attached helper column; other lags would
+    need their own F.lag(V, lag) column in attach_group_stats.
     """
+    if lag != 1:
+        raise NotImplementedError(
+            "autocorrelation_agg currently supports lag=1 only (the "
+            "attached LAG1 column); extend attach_group_stats for other lags"
+        )
     n = _n().cast("double")
     var = F.col(SIG) * F.col(SIG)
     num = F.sum(
@@ -258,7 +266,9 @@ def default_feature_aggs(include_order_sensitive: bool = True) -> dict[str, Colu
     return aggs
 
 
-def longest_strike(df: DataFrame, keys: list[str], above: bool = True) -> DataFrame:
+def longest_strike(
+    df: DataFrame, keys: list[str], above: bool = True, order_cols=ORDER_COLS
+) -> DataFrame:
     """longest_strike_above_mean / _below_mean (README.md:113-114).
 
     Gaps-and-islands: within a group ordered by (turn_idx, ts), an
@@ -273,7 +283,9 @@ def longest_strike(df: DataFrame, keys: list[str], above: bool = True) -> DataFr
     name = f"longest_strike_{'above' if above else 'below'}_mean"
     flag = (F.col(V) > F.col(MU)) if above else (F.col(V) < F.col(MU))
     d = df.withColumn("_flag", flag.cast("int"))
-    w_flag = Window.partitionBy(*(keys + ["_flag"])).orderBy("turn_idx", "ts")
+    # MUST order identically to the RN window in attach_group_stats —
+    # a caller-supplied order_cols there has to be passed here too
+    w_flag = Window.partitionBy(*(keys + ["_flag"])).orderBy(*[F.col(c) for c in order_cols])
     d = d.withColumn("_island", F.col(RN) - F.row_number().over(w_flag))
     runs = (
         d.where(F.col("_flag") == 1)

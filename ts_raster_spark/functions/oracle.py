@@ -284,12 +284,11 @@ def lempel_ziv_complexity(x, bins: int = 10):
     n = len(x)
     if n == 0:
         return np.nan
-    lo, hi = np.min(x), np.max(x)
-    seq = (
-        np.zeros(n, dtype=int)
-        if hi == lo
-        else np.minimum(((x - lo) / (hi - lo) * bins).astype(int), bins - 1)
-    )
+    # tsfresh binning: searchsorted against the UPPER bin edges
+    # (linspace edges minus the first), side='left' — values exactly on
+    # an interior edge go to the upper bin
+    edges = np.linspace(np.min(x), np.max(x), bins + 1)[1:]
+    seq = np.searchsorted(edges, x, side="left")
     subs = set()
     i, k = 0, 1
     while i + k <= n:

@@ -85,15 +85,18 @@ def with_channels(turns: DataFrame, dense_turn_idx: bool = True) -> DataFrame:
     ).drop("_epoch")
 
 
-def to_long_panel(turns: DataFrame, channels: tuple[str, ...] = CHANNELS) -> DataFrame:
+def to_long_panel(
+    turns: DataFrame, channels: tuple[str, ...] = CHANNELS, dense_turn_idx: bool = True
+) -> DataFrame:
     """Unpivot channel columns into the tidy long panel.
 
     Output: ``(conv_id, turn_idx, ts, kind, value)``. Null channel values
     are dropped (the head turn has no latency), mirroring the reference's
     sentinel-row drop at sources (prep.py:421-428) — except nulls here
-    are real nulls, not ``-9999``.
+    are real nulls, not ``-9999``. ``dense_turn_idx`` selects the latency
+    implementation (see :func:`with_channels`).
     """
-    wide = with_channels(turns)
+    wide = with_channels(turns, dense_turn_idx=dense_turn_idx)
     chan_cols = [c for c in channels if c != "value"] + (["value"] if "value" in channels else [])
     pairs = ", ".join(f"'{c}', {'value' if c == 'value' else c}" for c in chan_cols)
     stacked = wide.selectExpr(
@@ -109,8 +112,5 @@ def to_long_panel(turns: DataFrame, channels: tuple[str, ...] = CHANNELS) -> Dat
 
 
 def to_long_panel_window(turns, channels=CHANNELS):
-    wide = with_channels(turns, dense_turn_idx=False)
-    chan_cols = [c for c in channels if c != "value"] + (["value"] if "value" in channels else [])
-    pairs = ", ".join(f"'{c}', {'value' if c == 'value' else c}" for c in chan_cols)
-    stacked = wide.selectExpr("conv_id", "turn_idx", "ts", f"stack({len(chan_cols)}, {pairs}) AS (kind, value_out)")
-    return stacked.where(F.col("value_out").isNotNull()).withColumnRenamed("value_out", "value")
+    """Window-lag latency variant for inputs without dense turn_idx."""
+    return to_long_panel(turns, channels, dense_turn_idx=False)

@@ -33,16 +33,20 @@ def merge_late_turns(
     tier: str,
     all_turns: DataFrame,
     late_turns: DataFrame,
-    kinds: tuple[str, ...] = (),
+    kinds: tuple[str, ...] | None = None,
 ) -> dict:
     """Upsert late-arriving turns into an existing tier table.
 
     ``all_turns`` must include the late rows (the raw table after the
     late append); only buckets the late rows touch are recomputed.
+    ``kinds=None`` infers the channel set from the EXISTING tier table,
+    so a merge can never widen a kinds-restricted table's channel set.
     Returns {affected_buckets, rows_before, rows_after}.
     """
     existing = cat.read(spark, tier_table)
     rows_before = existing.count()
+    if kinds is None:
+        kinds = tuple(r[0] for r in existing.select("kind").distinct().collect())
 
     # A late turn changes its own bucket for every channel, and (via the
     # latency channel) the FOLLOWING turn's bucket; recompute the whole

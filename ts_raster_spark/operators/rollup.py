@@ -25,6 +25,15 @@ from ts_raster_spark.functions import features as FT
 
 TIERS = {"minute": "minute", "hour": "hour", "day": "day"}
 
+# calculators that read no attach_group_stats helper column — a rollup
+# restricted to these needs no windowed pre-pass at all
+HELPER_FREE_FEATURES = {
+    "turn_count", "mean", "maximum", "minimum", "sum_values", "median",
+    "variance", "standard_deviation", "abs_energy", "root_mean_square",
+    "mean_change", "quantile_q05", "quantile_q15", "quantile_q85",
+    "quantile_q95", "large_standard_deviation_r25", "variation_coefficient",
+}
+
 
 def bucketize(long_df: DataFrame, tier: str | None) -> tuple[DataFrame, list[str]]:
     """Add ``bucket_start`` for the tier; return (df, rollup keys)."""
@@ -52,10 +61,19 @@ def rollup_features(
     calculate.py:103-112).
     """
     df, keys = bucketize(long_df, tier)
-    df = FT.attach_group_stats(df, keys)
     aggs = FT.default_feature_aggs()
     if feature_names is not None:
         aggs = {k: v for k, v in aggs.items() if k in set(feature_names)}
+    # Skip the windowed helper pre-pass (group stats, row numbers, lags —
+    # a full sort per group) when every requested feature is closed-form.
+    needs_helpers = (
+        include_strikes
+        or include_trend
+        or include_entropy
+        or any(k not in HELPER_FREE_FEATURES for k in aggs)
+    )
+    if needs_helpers:
+        df = FT.attach_group_stats(df, keys)
 
     # Percentile fusion: median + the 4 quantiles each sort the group's
     # values; one percentile(value, array(...)) sorts ONCE and returns

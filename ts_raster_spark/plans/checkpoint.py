@@ -110,4 +110,11 @@ def run_checkpointed(
 
 
 def read_result(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "slice=*"))
+    """Read ONLY manifest-listed completed slices — a slice=* glob would
+    silently union stale directories left by a previous run with a
+    different n_slices (double-counting)."""
+    done = load_manifest(out_dir)
+    if not done:
+        raise FileNotFoundError(f"no completed slices recorded in {out_dir}/{MANIFEST}")
+    paths = [rec["path"] for rec in done.values()]
+    return spark.read.parquet(*paths)

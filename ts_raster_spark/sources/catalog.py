@@ -48,18 +48,25 @@ class ParquetTierCatalog:
         bucket entirely (retention TTL drops).
         """
         spark = df.sparkSession
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "static" if full else "dynamic"
-        )
-        sort_cols = [c for c in ("conv_id", "kind", "bucket_start") if c in df.columns]
-        (
-            self.with_bucket(df)
-            .repartition("bucket_id")
-            .sortWithinPartitions(*sort_cols)
-            .write.mode(mode)
-            .partitionBy("bucket_id")
-            .parquet(self.path(table))
-        )
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "static" if full else "dynamic")
+        try:
+            sort_cols = [c for c in ("conv_id", "kind", "bucket_start") if c in df.columns]
+            (
+                self.with_bucket(df)
+                .repartition("bucket_id")
+                .sortWithinPartitions(*sort_cols)
+                .write.mode(mode)
+                .partitionBy("bucket_id")
+                .parquet(self.path(table))
+            )
+        finally:
+            # never leak the overwrite mode into the caller's session
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.path(table)).drop("bucket_id")

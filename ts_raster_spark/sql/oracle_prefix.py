@@ -33,7 +33,11 @@ WITH turns_base AS (
 turns AS (
     SELECT
         conv_id, turn_idx, role,
-        conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':' || _props AS text,
+        -- mirror Spark concat_ws: NULL parts are SKIPPED, not propagated
+        CASE WHEN _props IS NULL
+             THEN conv_id || ':' || CAST(turn_idx AS VARCHAR)
+             ELSE conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':' || _props
+        END AS text,
         tool, ts, value
     FROM turns_base
 )

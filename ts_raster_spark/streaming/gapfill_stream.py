@@ -36,21 +36,28 @@ def _locf_fn(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterato
         vals = pdf["value"].astype(float)
         for t_us, v in zip(ts_us, vals):
             bucket = (int(t_us) // _MINUTE_US) * _MINUTE_US
-            if last_bucket is not None:
-                # emit locf rows for every empty minute between buckets
-                b = last_bucket + _MINUTE_US
-                while b < bucket:
-                    out_rows.append((conv_id, b, float(last_value), 1))
-                    b += _MINUTE_US
             if last_bucket is None or bucket > last_bucket:
+                if last_bucket is not None:
+                    # emit locf rows for every empty minute in the gap
+                    b = last_bucket + _MINUTE_US
+                    while b < bucket:
+                        out_rows.append((conv_id, b, float(last_value), 1))
+                        b += _MINUTE_US
                 out_rows.append((conv_id, bucket, float(v), 0))
-            elif out_rows:
-                # same bucket within this batch: last observation wins
-                out_rows[-1] = (conv_id, bucket, float(v), 0)
+                last_bucket, last_value = bucket, float(v)
+            elif bucket == last_bucket:
+                # same bucket: last observation wins; update in place when
+                # this batch emitted the row, else re-emit as an update
+                if out_rows and out_rows[-1][1] == bucket:
+                    out_rows[-1] = (conv_id, bucket, float(v), 0)
+                else:
+                    out_rows.append((conv_id, bucket, float(v), 0))
+                last_value = float(v)
             else:
-                # same bucket as a PREVIOUS batch's state: re-emit update
+                # out-of-order event time (bucket < state): emit a
+                # correction row for that bucket but do NOT rewind the
+                # locf state — already-emitted buckets stay emitted
                 out_rows.append((conv_id, bucket, float(v), 0))
-            last_bucket, last_value = bucket, float(v)
     state.update((last_bucket, last_value))
     if out_rows:
         df = pd.DataFrame(out_rows, columns=["conv_id", "bucket_us", "value", "filled"])
