@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_signlsh": Q.q_ann_signlsh,
         "ann_ivf": Q.q_ann_ivf,  # rows-only: k-means not SQL-reproducible
         "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
+        "dedup_embedding_cosine_blocked": Q.q_dedup_embedding_cosine_blocked,
         "lang_id": Q.q_lang_id,
         "token_stats": Q.q_token_stats,
         "quality_score": Q.q_quality_score,
@@ -260,12 +261,14 @@ _CASCADE_COLS = f"""
 
 
 def _nudge_rounds(sql: str) -> str:
-    """Apply the +1e-9 rounding nudge (functions/norm.py contract) to
-    every plain round(x, 4) in an oracle query; sql_r4-generated sites
-    already carry it."""
+    """Apply the +1e-9 rounding nudge and the signed-zero normalizer
+    (functions/norm.py contract) to every plain round(x, 4) in an oracle
+    query; sql_r4-generated sites already carry both. Every ``, 4)`` in
+    these queries closes a round() in a SELECT list, so appending
+    ``+ 0.0`` after the paren is well-formed."""
     import re
 
-    return re.sub(r"(?<!1e-9), 4\)", " + 1e-9, 4)", sql)
+    return re.sub(r"(?<!1e-9), 4\)", " + 1e-9, 4) + 0.0", sql)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -430,7 +433,7 @@ FROM turns t ASOF LEFT JOIN points p
 """,
         "session_windows": f"""{TURNS_CTE},
 flagged AS (
-    SELECT conv_id, ts,
+    SELECT conv_id, ts, turn_idx,
         CASE WHEN lag(ts) OVER w IS NULL
              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
     FROM turns
@@ -438,7 +441,7 @@ flagged AS (
 ),
 grouped AS (
     SELECT conv_id, ts,
-        sum(new_s) OVER (PARTITION BY conv_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        sum(new_s) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
     FROM flagged
 )
 SELECT conv_id,
@@ -523,6 +526,7 @@ WHERE substr(md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)), 1, 8) <
 )
 SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
 """,
+        "dedup_embedding_cosine_blocked": DD.cosine_near_dup_blocked_sql(0.35),
         "lang_id": DD.lang_id_sql(),
         "token_stats": DD.token_stats_sql(),
         "quality_score": DD.quality_sql(),

@@ -96,6 +96,47 @@ def test_catalog_idempotent_rewrite(spark, turns_small, tmp_path):
     assert n1 == n2
 
 
+def test_layout_change_does_not_double_count(spark, turns_small, tmp_path):
+    """Re-running into the same out_dir with a SMALLER n_slices and the
+    old manifest still present must not resurrect stale 'done' records:
+    records are keyed by n_slices, so read_result sees only the current
+    layout's slices."""
+    out = str(tmp_path / "ckpt_layout")
+    run_checkpointed(spark, turns_small, _transform, out, n_slices=8)
+    ref = read_result(spark, out).count()
+    # manifest NOT deleted — the layout key alone must protect us
+    run_checkpointed(spark, turns_small, _transform, out, n_slices=4)
+    assert set(load_manifest(out).keys()) == {0, 1, 2, 3}
+    got = read_result(spark, out).count()
+    assert got == ref
+    # the old layout is still addressable explicitly
+    assert set(load_manifest(out, n_slices=8).keys()) == set(range(8))
+
+
+def test_slice_col_prunes_partitions(spark, turns_small, tmp_path):
+    """With slice_col pointing at a materialized partition column, each
+    slice's scan carries a partition filter (file pruning at planning
+    time) and the checkpointed result equals the unsliced transform."""
+    cat = ParquetTierCatalog(str(tmp_path / "src"), n_buckets=4)
+    cat.write(turns_small, "turns")
+    src = spark.read.parquet(cat.path("turns"))  # keeps bucket_id
+
+    part = src.where(F.col("bucket_id").cast("int") == 2)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket_id" in plan
+
+    out = str(tmp_path / "ckpt_pruned")
+    summary = run_checkpointed(
+        spark, src, _transform, out, n_slices=4, slice_col="bucket_id"
+    )
+    assert summary["completed"] == 4
+    got = read_result(spark, out).orderBy("conv_id", "kind", "bucket_start").toPandas()
+    ref = (
+        _transform(turns_small).orderBy("conv_id", "kind", "bucket_start").toPandas()
+    )
+    assert got.equals(ref)
+
+
 def test_read_result_ignores_stale_slices(spark, turns_small, tmp_path):
     """Resuming with a smaller n_slices must not union stale slice dirs
     from the previous layout (read_result reads manifest paths only)."""

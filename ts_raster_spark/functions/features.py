@@ -246,7 +246,7 @@ def large_standard_deviation_aggs(rs=(0.25,)) -> dict[str, Column]:
     for r in rs:
         out[f"large_standard_deviation_r{str(r).replace('0.', '')}"] = (
             F.stddev_pop(V) > F.lit(float(r)) * (F.max(V) - F.min(V))
-        ).cast("int")
+        ).cast("long")
     return out
 
 

@@ -22,4 +22,7 @@ def r4(c: F.Column) -> F.Column:
     absx = F.abs(c)
     p = F.pow(F.lit(10.0), F.floor(F.log10(absx)) - 9)
     big = F.round(c / p + NUDGE) * p
-    return F.when(absx >= 1e6, big).otherwise(F.round(c + NUDGE, ROUND_N))
+    out = F.when(absx >= 1e6, big).otherwise(F.round(c + NUDGE, ROUND_N))
+    # + 0.0 normalizes IEEE signed zero (-0.0 + 0.0 == +0.0): engines
+    # disagree on the sign of a zero-rounding residual, not its value.
+    return out + F.lit(0.0)

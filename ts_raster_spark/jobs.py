@@ -62,8 +62,10 @@ def run_rollup_job(
         minute = read_result(spark, ckpt_dir)
     else:
         minute = to_minute(turns)
+    # one Spark action per tier: the write; lineage counts come from
+    # parquet footer metadata (no count job on the critical path)
     cat.write(minute, "rollup_minute")
-    counts["minute"] = cat.read(spark, "rollup_minute").count()
+    counts["minute"] = cat.row_count("rollup_minute")
 
     finer = cat.read(spark, "rollup_minute")
     for tier in ("hour", "day"):
@@ -71,8 +73,8 @@ def run_rollup_job(
             continue
         rolled = cascade_up(finer, tier)
         cat.write(rolled, f"rollup_{tier}")
+        counts[tier] = cat.row_count(f"rollup_{tier}")
         finer = cat.read(spark, f"rollup_{tier}")
-        counts[tier] = finer.count()
 
     if cfg.gapfill_policy:
         pts = cat.read(spark, "rollup_minute").selectExpr(
@@ -80,7 +82,7 @@ def run_rollup_job(
         )
         filled = gapfill(pts, "minute", cfg.gapfill_policy)
         cat.write(filled.drop("_observed"), "rollup_minute_filled")
-        counts["minute_filled"] = cat.read(spark, "rollup_minute_filled").count()
+        counts["minute_filled"] = cat.row_count("rollup_minute_filled")
 
     if cfg.compress:
         long_df = to_long_panel(turns)
@@ -88,6 +90,6 @@ def run_rollup_job(
             long_df = long_df.where(long_df.kind.isin(*cfg.kinds))
         blocks = compress_blocks(long_df, block="day")
         cat.write(blocks.withColumnRenamed("block_start", "bucket_start"), "raw_blocks")
-        counts["raw_blocks"] = cat.read(spark, "raw_blocks").count()
+        counts["raw_blocks"] = cat.row_count("raw_blocks")
 
     return counts

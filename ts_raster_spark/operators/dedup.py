@@ -59,9 +59,16 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, max_df: int | None = None) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, max_df: int | None = 1000) -> DataFrame:
     """Exact Jaccard over 3-gram shingle sets for every pair sharing ≥1
-    shingle. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    shingle. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``max_df`` bounds the self-join: a stop-shingle shared by d docs
+    creates a d² join bucket, so shingles with document frequency above
+    the cap are dropped on BOTH sides (they carry no near-dup signal —
+    at J ≥ 0.2 true near-dups share many rarer shingles too). The cap is
+    ON by default; pass None only for exact-small-corpus parity runs.
+    """
     sh = doc_shingles(docs)
     if max_df:
         keep = sh.groupBy("shingle").count().where(F.col("count") <= max_df).select("shingle")

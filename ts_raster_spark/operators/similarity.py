@@ -58,11 +58,61 @@ def sign_bucket(emb: DataFrame, n_planes: int = 8) -> DataFrame:
     return emb.withColumn("bucket", F.expr(expr).cast("int"))
 
 
+def cosine_near_dup_blocked(
+    emb: DataFrame, threshold: float = 0.95, n_planes: int = 8, n_bands: int = 2
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking — the
+    production default. Vectors are bucketed by the sign pattern of
+    ``n_planes`` coordinates, ``n_bands`` times over disjoint coordinate
+    sets (band b uses coordinates b·n_planes..(b+1)·n_planes−1); a pair
+    is a candidate iff it collides in ANY band. Exact cosine + threshold
+    runs only within buckets, so the join is O(Σ bucket²), never O(n²).
+
+    High-cosine pairs agree on most coordinate signs, so multi-band
+    collision recall rises with n_bands; recall vs the exact operator is
+    pytest-asserted (tests). Deterministic axis-aligned planes keep it
+    SQL-reproducible; swap seeded Gaussians in for production variety.
+    """
+    bands = []
+    for b in range(n_bands):
+        expr = " + ".join(
+            f"CASE WHEN cast(element_at(embedding, {b * n_planes + i + 1}) as double) >= 0 THEN {2**i} ELSE 0 END"
+            for i in range(n_planes)
+        )
+        bands.append(
+            emb.select(
+                "vec_id",
+                F.lit(b).alias("band"),
+                F.expr(expr).cast("int").alias("bucket"),
+            )
+        )
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+    a = all_bands.alias("a")
+    b_ = all_bands.alias("b")
+    cand = (
+        a.join(b_, ["band", "bucket"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b"))
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
+    return (
+        _with_cosine(pairs)
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
-    cosine ≥ threshold. Exact all-pairs at gate scale; at 100 TB use the
-    sign-LSH buckets (or IVF cells) as the blocking stage and run this
-    within blocks."""
+    cosine ≥ threshold. EXACT all-pairs — the oracle-parity / recall
+    baseline only. The production path is
+    :func:`cosine_near_dup_blocked` (sign-LSH buckets bound the join);
+    this O(n²) cross join must never run at corpus scale."""
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b"))
     pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))

@@ -271,9 +271,19 @@ def q_ann_signlsh(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
+    """Exact all-pairs variant — oracle-parity/recall baseline only; the
+    production path is q_dedup_embedding_cosine_blocked."""
     from ts_raster_spark.operators.similarity import cosine_near_dup_pairs
 
     return cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+def q_dedup_embedding_cosine_blocked(spark, sf_dir):
+    """Sign-LSH-blocked near-dup pairs — the 100 TB default (no O(n²)
+    cross join; candidates only within per-band sign buckets)."""
+    from ts_raster_spark.operators.similarity import cosine_near_dup_blocked
+
+    return cosine_near_dup_blocked(_emb(spark, sf_dir), threshold=0.35)
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -514,7 +524,9 @@ def q_balanced_panel_check(spark, sf_dir):
         .groupBy("conv_id", "kind")
         .agg(F.count_distinct("bucket_start").cast("long").alias("n_buckets"))
     )
-    w_max = F.max("n_buckets").over(Window.partitionBy())
-    return counts.withColumn("panel_max", w_max).withColumn(
+    # 1-row global agg broadcast back (ml_prep.minmax_scale pattern) —
+    # an unpartitioned window would funnel every row through one task
+    panel_max = counts.agg(F.max("n_buckets").alias("panel_max"))
+    return counts.crossJoin(F.broadcast(panel_max)).withColumn(
         "balanced", (F.col("n_buckets") == F.col("panel_max")).cast("int")
     )

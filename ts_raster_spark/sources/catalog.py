@@ -71,6 +71,14 @@ class ParquetTierCatalog:
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.path(table)).drop("bucket_id")
 
+    def row_count(self, table: str) -> int:
+        """Row count from parquet footer metadata — zero Spark jobs and
+        zero data read (the Iceberg-manifest-statistics stand-in). Keeps
+        per-tier lineage counts off the job critical path."""
+        import pyarrow.dataset as ds
+
+        return ds.dataset(self.path(table), format="parquet", partitioning="hive").count_rows()
+
     def write_bucketed_table(self, df: DataFrame, table: str, sort_cols: list[str] | None = None) -> None:
         """Metastore-backed bucketed table (``bucketBy(n, conv_id)``):
         unlike the path-based layout, Spark's planner KNOWS the bucket

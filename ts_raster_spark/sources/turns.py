@@ -83,7 +83,9 @@ def derive_turns_from_events(events: DataFrame) -> DataFrame:
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     base = events.select(
-        F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 6, "0")).alias("conv_id"),
+        # format_string does NOT truncate ids wider than 6 digits (lpad
+        # would), so distinct users can never collide at larger scales
+        F.format_string("conv-%06d", F.col("user_id").cast("long")).alias("conv_id"),
         (F.row_number().over(w) - F.lit(1)).cast("int").alias("turn_idx"),
         F.expr(_ROLE_CASE).alias("role"),
         F.col("props").alias("_props"),

@@ -30,8 +30,17 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def jaccard_sql(threshold: float) -> str:
-    return f"""WITH {DSH_CTE},
+def jaccard_sql(threshold: float, max_df: int | None = 1000) -> str:
+    # mirror of dedup.ngram_jaccard_pairs incl. the max_df stop-shingle
+    # cap (dropped on both the sizes and the intersection side)
+    df_cap = (
+        f"dsh AS (SELECT * FROM dsh0 WHERE shingle IN "
+        f"(SELECT shingle FROM dsh0 GROUP BY shingle HAVING count(*) <= {max_df})),"
+        if max_df
+        else "dsh AS (SELECT * FROM dsh0),"
+    )
+    return f"""WITH {DSH_CTE.replace('dsh AS', 'dsh0 AS')},
+{df_cap}
 sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS i
@@ -129,6 +138,37 @@ ranked AS (
     FROM pairs
 )
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def cosine_near_dup_blocked_sql(threshold: float, n_planes: int = 8, n_bands: int = 2) -> str:
+    """Twin of similarity.cosine_near_dup_blocked: disjoint-coordinate
+    sign-LSH bands, candidates = bucket collisions in any band, exact
+    cosine within blocks."""
+    band_rows = []
+    for b in range(n_bands):
+        bucket = " + ".join(
+            f"CASE WHEN embedding[{b * n_planes + i + 1}]::DOUBLE >= 0 THEN {2**i} ELSE 0 END"
+            for i in range(n_planes)
+        )
+        band_rows.append(
+            f"SELECT vec_id, {b} AS band, CAST({bucket} AS INTEGER) AS bucket FROM embeddings"
+        )
+    bands = "\nUNION ALL\n".join(band_rows)
+    return f"""WITH bands AS ({bands}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.vec_id < b.vec_id
+),
+pairs AS (
+    SELECT c.vec_a, c.vec_b,
+        round({_DOT} / ({_NORM.format(c='a')} * {_NORM.format(c='b')}), 4) AS cosine
+    FROM cand c
+    JOIN (SELECT vec_id, embedding AS a FROM embeddings) ea ON ea.vec_id = c.vec_a
+    JOIN (SELECT vec_id, embedding AS b FROM embeddings) eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}
 """
 
 

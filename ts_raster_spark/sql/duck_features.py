@@ -18,11 +18,12 @@ def sql_r4(expr: str) -> str:
     significant digits via round(x/p)*p."""
     e = f"({expr})"
     p = f"power(10, floor(log10(abs({e}))) - 9)"
-    # the +1e-9 nudge mirrors queries.r4 (see its docstring)
+    # the +1e-9 nudge mirrors queries.r4 (see its docstring); the trailing
+    # + 0.0 normalizes IEEE signed zero exactly like functions/norm.r4
     return (
-        f"CASE WHEN abs({e}) >= 1000000.0 "
+        f"(CASE WHEN abs({e}) >= 1000000.0 "
         f"THEN round({e} / {p} + 1e-9) * {p} "
-        f"ELSE round({e} + 1e-9, {ROUND_N}) END"
+        f"ELSE round({e} + 1e-9, {ROUND_N}) END) + 0.0"
     )
 
 
@@ -127,5 +128,7 @@ def feature_select(features: list[str], keys: list[str], key_exprs: list[str] | 
     cols = list(key_exprs or keys)
     for f in features:
         e = CORE_EXPRS[f]
-        cols.append(f"({e}) AS {f}" if f in INT_FEATURES else r(e, f))
+        # CAST to BIGINT: DuckDB's sum(CASE..) promotes to HUGEINT which
+        # renders as float64 in pandas; Spark emits int64 for these.
+        cols.append(f"CAST(({e}) AS BIGINT) AS {f}" if f in INT_FEATURES else r(e, f))
     return ",\n        ".join(cols)

@@ -10,7 +10,7 @@ derivations, so every oracle query runs over byte-identical inputs.
 TURNS_CTE = """
 WITH turns_base AS (
     SELECT
-        'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+        printf('conv-%06d', user_id) AS conv_id,
         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
         CASE event_type
             WHEN 'click' THEN 'user'
@@ -59,16 +59,18 @@ channels AS (
     FROM turns
 ),
 long_panel AS (
-    SELECT conv_id, turn_idx, ts, 'text_len' AS kind, text_len AS value FROM channels
+    -- every branch null-filters: to_long_panel drops ALL null channel
+    -- values, not just latency (longform.py isNotNull filter)
+    SELECT conv_id, turn_idx, ts, 'text_len' AS kind, text_len AS value FROM channels WHERE text_len IS NOT NULL
     UNION ALL
     SELECT conv_id, turn_idx, ts, 'latency_s', latency_s FROM channels WHERE latency_s IS NOT NULL
     UNION ALL
-    SELECT conv_id, turn_idx, ts, 'is_tool', is_tool FROM channels
+    SELECT conv_id, turn_idx, ts, 'is_tool', is_tool FROM channels WHERE is_tool IS NOT NULL
     UNION ALL
-    SELECT conv_id, turn_idx, ts, 'role_user', role_user FROM channels
+    SELECT conv_id, turn_idx, ts, 'role_user', role_user FROM channels WHERE role_user IS NOT NULL
     UNION ALL
-    SELECT conv_id, turn_idx, ts, 'role_assistant', role_assistant FROM channels
+    SELECT conv_id, turn_idx, ts, 'role_assistant', role_assistant FROM channels WHERE role_assistant IS NOT NULL
     UNION ALL
-    SELECT conv_id, turn_idx, ts, 'value', value_chan FROM channels
+    SELECT conv_id, turn_idx, ts, 'value', value_chan FROM channels WHERE value_chan IS NOT NULL
 )
 """
