@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ts_raster_spark import queries as Q
 from ts_raster_spark.operators.ml_prep import frac_hex
 from ts_raster_spark.sql import duck_docs as DD
-from ts_raster_spark.sql.duck_features import feature_select, sql_r4, stats_cte
+from ts_raster_spark.sql.duck_features import autocorr_sql, feature_select, r, sql_r4, stats_cte
 from ts_raster_spark.sql.oracle_prefix import LONG_CTE, TURNS_CTE
 
 TS_FMT = "%Y-%m-%d %H:%M:%S"
@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_scale": Q.q_minmax_scale,
         "feature_relevance": Q.q_feature_relevance,
         "combine_periods": Q.q_combine_periods,
+        "wide_to_long_panel": Q.q_wide_to_long_panel,
+        "autocorr_lags": Q.q_autocorr_lags,
+        "feature_names_dim": Q.q_feature_names_dim,
         "balanced_panel_check": Q.q_balanced_panel_check,
         "export_wide_features": Q.q_export_wide_features,
         "asof_join": Q.q_asof_join,
@@ -98,9 +101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_stats": Q.q_moving_stats,
         "stratified_sample": Q.q_stratified_sample,
         "time_weighted_avg": Q.q_time_weighted_avg,
-        # Arrow-kernel / compression paths — intentionally no oracle_sql
-        # (CWT + binary blocks are not SQL-expressible); driver records
-        # the weaker rows-only check.
+        # Arrow-kernel path: value-checked against a checked-in golden
+        # parquet (tools/make_golden_cwt.py — CWT is not SQL-expressible
+        # but IS deterministic). Compression blocks stay rows-only
+        # (binary payloads have no SQL analog); their bit-exactness is
+        # pytest-proven incl. hypothesis properties.
         "kernel_features_cwt": Q.q_kernel_features_cwt,
         "compress_roundtrip": Q.q_compress_roundtrip,
     }
@@ -411,6 +416,42 @@ SELECT coalesce(p1.conv_id, p2.conv_id) AS conv_id,
     p2.turn_count AS turn_count_p2, p2.mean_text_len AS mean_text_len_p2
 FROM p1 FULL OUTER JOIN p2 ON p1.conv_id = p2.conv_id
 """,
+        "wide_to_long_panel": f"""{TURNS_CTE},
+p1 AS (
+    SELECT conv_id, count(*) AS turn_count, round(avg(length(text)), 4) AS mean_text_len
+    FROM turns WHERE ts < TIMESTAMP '2024-01-16' GROUP BY conv_id
+),
+p2 AS (
+    SELECT conv_id, count(*) AS turn_count, round(avg(length(text)), 4) AS mean_text_len
+    FROM turns WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY conv_id
+),
+domain AS (SELECT DISTINCT conv_id FROM turns)
+SELECT d.conv_id, 'p1' AS period, p1.turn_count, p1.mean_text_len
+FROM domain d LEFT JOIN p1 ON d.conv_id = p1.conv_id
+UNION ALL
+SELECT d.conv_id, 'p2' AS period, p2.turn_count, p2.mean_text_len
+FROM domain d LEFT JOIN p2 ON d.conv_id = p2.conv_id
+""",
+        "autocorr_lags": f"""{LONG_CTE},
+base AS (
+    SELECT conv_id, kind, turn_idx, ts, value FROM long_panel WHERE kind = 'text_len'
+),
+{stats_cte(["conv_id", "kind"], src="base")}
+SELECT conv_id, kind,
+    {r(autocorr_sql(1), 'autocorrelation_lag1')},
+    {r(autocorr_sql(2), 'autocorrelation_lag2')},
+    {r(autocorr_sql(3), 'autocorrelation_lag3')}
+FROM stats GROUP BY conv_id, kind
+""",
+        "feature_names_dim": """SELECT * FROM (VALUES
+    (1, 'text_len_n', 'text_len', 'n'),
+    (2, 'text_len_mean', 'text_len', 'mean'),
+    (3, 'text_len_max', 'text_len', 'max'),
+    (4, 'latency_s_n', 'latency_s', 'n'),
+    (5, 'latency_s_mean', 'latency_s', 'mean'),
+    (6, 'latency_s_max', 'latency_s', 'max')
+) AS t(position, column_name, kind, feature)
+""",
         "balanced_panel_check": f"""{LONG_CTE},
 counts AS (
     SELECT conv_id, kind, count(DISTINCT date_trunc('day', ts)) AS n_buckets
@@ -511,6 +552,16 @@ WHERE substr(md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)), 1, 8) <
          WHEN role = 'assistant' THEN '{frac_hex(0.1)}'
          ELSE '{frac_hex(0.5)}' END
 """,
+        # kernel_features_cwt: the CWT kernel has no SQL analog; the
+        # oracle is a checked-in golden parquet generated independently
+        # of Spark (tools/make_golden_cwt.py: DuckDB long panel +
+        # NumPy reference calculators) at the driver's gate sf (0.01).
+        "kernel_features_cwt": (
+            "SELECT * FROM '"
+            + os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "golden", "kernel_cwt_sf001.parquet")
+            + "'"
+        ),
         "dedup_exact": DD.exact_dedup_sql(),
         "dedup_ngram_jaccard": DD.jaccard_sql(0.8),
         "dedup_minhash_lsh": DD.minhash_lsh_sql(8, 2),

@@ -43,11 +43,14 @@ ORDER_COLS = ("turn_idx", "ts")
 PEAK_NS = (1, 3)
 
 
-def attach_group_stats(df: DataFrame, keys: list[str], order_cols=ORDER_COLS) -> DataFrame:
+def attach_group_stats(df: DataFrame, keys: list[str], order_cols=ORDER_COLS, lags=(1, 2)) -> DataFrame:
     """Attach per-group stats + ordered lag/row-number as row columns.
 
     One hash-partitioning on ``keys`` serves every window here and the
     downstream groupBy — verified single-Exchange in the physical plan.
+    ``lags`` controls which ``_lag{n}`` columns are attached (extra lags
+    feed :func:`autocorrelation_agg` at those lags; all windows share the
+    same partitioning so extra lags add no exchange).
     """
     wu = Window.partitionBy(*keys)
     wo = wu.orderBy(*[F.col(c) for c in order_cols])
@@ -58,9 +61,9 @@ def attach_group_stats(df: DataFrame, keys: list[str], order_cols=ORDER_COLS) ->
         .withColumn(VMIN, F.min(V).over(wu))
         .withColumn("_nrows", F.count(V).over(wu))
         .withColumn(RN, F.row_number().over(wo))
-        .withColumn(LAG1, F.lag(V, 1).over(wo))
-        .withColumn(LAG2, F.lag(V, 2).over(wo))
     )
+    for lag in sorted(set(lags) | {1, 2}):
+        out = out.withColumn(f"_lag{lag}", F.lag(V, lag).over(wo))
     # neighbourhood maxima for number_peaks(n): strict peak needs x >
     # every neighbour within distance n on BOTH sides (interior only)
     for n in PEAK_NS:
@@ -201,21 +204,16 @@ def ratio_beyond_r_sigma_aggs(rs=(2.0, 3.0)) -> dict[str, Column]:
 def autocorrelation_agg(lag: int = 1) -> dict[str, Column]:
     """tsfresh autocorrelation(lag): sum((x_t-mu)(x_{t+lag}-mu)) / ((n-lag)*var_pop).
 
-    With LAG1 attached, each row t>lag contributes (x_t-mu)(x_{t-lag}-mu)
-    — an index shift that leaves the sum identical.
-
-    Only lag=1 is wired to an attached helper column; other lags would
-    need their own F.lag(V, lag) column in attach_group_stats.
+    With ``_lag{lag}`` attached, each row t>lag contributes
+    (x_t-mu)(x_{t-lag}-mu) — an index shift that leaves the sum identical.
+    Requires ``attach_group_stats(..., lags=(..., lag))`` for lag > 2
+    (lags 1 and 2 are always attached).
     """
-    if lag != 1:
-        raise NotImplementedError(
-            "autocorrelation_agg currently supports lag=1 only (the "
-            "attached LAG1 column); extend attach_group_stats for other lags"
-        )
+    lag_col = F.col(f"_lag{lag}")
     n = _n().cast("double")
     var = F.col(SIG) * F.col(SIG)
     num = F.sum(
-        F.when(F.col(LAG1).isNotNull(), (F.col(V) - F.col(MU)) * (F.col(LAG1) - F.col(MU)))
+        F.when(lag_col.isNotNull(), (F.col(V) - F.col(MU)) * (lag_col - F.col(MU)))
     )
     denom = (n - lag) * F.max(var)
     return {

@@ -148,6 +148,44 @@ def feature_relevance_fdr(
     )
 
 
+def wide_to_long(df: DataFrame, keys: list[str], sep: str = "_") -> DataFrame:
+    """Melt a period-suffixed wide table back to a long panel — the
+    inverse of :func:`combine_periods` and the analog of the reference's
+    ``wide_to_long_target_features`` (tsraster/prep.py:663-695,
+    ``pd.wide_to_long`` with stubnames stripped of ``sep + suffix``).
+
+    Every non-key column must be named ``{stub}{sep}{period}``; output is
+    one row per (keys, period) with one column per stub (NULL where that
+    stub has no column for the period, mirroring pandas NaN fill).
+
+    Spark shape: a union of per-period narrow projections — pure
+    column-level select + unionByName, NO shuffle and no Python; at any
+    scale this is a single pass over the wide table.
+    """
+    stubs: list[str] = []
+    periods: list[str] = []
+    mapping: dict[tuple[str, str], str] = {}
+    for c in df.columns:
+        if c in keys:
+            continue
+        stub, _, period = c.rpartition(sep)
+        if not stub:
+            raise ValueError(f"column {c!r} has no {sep!r}-suffixed period")
+        if stub not in stubs:
+            stubs.append(stub)
+        if period not in periods:
+            periods.append(period)
+        mapping[(stub, period)] = c
+    parts = []
+    for period in periods:
+        cols = [F.col(k) for k in keys] + [F.lit(period).alias("period")]
+        for stub in stubs:
+            src = mapping.get((stub, period))
+            cols.append((F.col(src) if src else F.lit(None)).alias(stub))
+        parts.append(df.select(*cols))
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def combine_periods(period_frames: dict[str, DataFrame], on: list[str]) -> DataFrame:
     """Horizontal concat of per-period feature tables on the key — the
     combine_extracted_features analog (prep.py:553-611): value columns

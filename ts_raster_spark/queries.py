@@ -447,6 +447,39 @@ def q_export_wide_features(spark, sf_dir):
     return out
 
 
+def q_wide_to_long_panel(spark, sf_dir):
+    """wide_to_long_target_features analog (prep.py:663-695): melt the
+    period-suffixed combined table back to one row per (conv, period)."""
+    from ts_raster_spark.operators.ml_prep import wide_to_long
+
+    wide = q_combine_periods(spark, sf_dir)
+    return wide_to_long(wide, keys=["conv_id"], sep="_")
+
+
+def q_autocorr_lags(spark, sf_dir):
+    """tsfresh autocorrelation at lags 1..3 per conversation (general-lag
+    form; lag>1 exercises the parameterized _lag{n} helper columns)."""
+    from ts_raster_spark.functions.features import attach_group_stats, autocorrelation_agg
+
+    keys = ["conv_id", "kind"]
+    long_df = load_long(spark, sf_dir).where(F.col("kind") == "text_len")
+    st = attach_group_stats(long_df, keys, lags=(1, 2, 3))
+    aggs = {}
+    for lag in (1, 2, 3):
+        aggs.update(autocorrelation_agg(lag))
+    out = st.groupBy(*keys).agg(*[v.alias(k) for k, v in aggs.items()])
+    return finalize(out)
+
+
+def q_feature_names_dim(spark, sf_dir):
+    """features_names dim sink (calculate.py:139-144): the persisted
+    band-position → (kind, feature) lookup for the wide export."""
+    from ts_raster_spark.sources.catalog import feature_names_dim
+
+    wide = q_export_wide_features(spark, sf_dir)
+    return feature_names_dim(spark, wide)
+
+
 def q_kernel_features_cwt(spark, sf_dir):
     """Arrow grouped-map kernel path incl. number_cwt_peaks (rows-only
     driver check: CWT has no SQL analog)."""

@@ -24,6 +24,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def feature_names_dim(spark: SparkSession, wide_df: DataFrame, key_cols=("conv_id",), sep: str = "_") -> DataFrame:
+    """Band→feature lookup dim for a wide export (reference
+    tsraster/calculate.py:139-144 writes the tsfresh feature-name list
+    alongside the banded tiff). One row per non-key column:
+    (position, column_name, kind, feature) — position is the 1-based
+    band index, so a consumer can map array band i back to (kind,
+    feature) without parsing column names. Persist it next to the wide
+    table via :meth:`ParquetTierCatalog.write` for a real dim table."""
+    rows = []
+    pos = 0
+    for c in wide_df.columns:
+        if c in key_cols:
+            continue
+        pos += 1
+        kind, _, feat = c.rpartition(sep)
+        rows.append((pos, c, kind, feat))
+    return spark.createDataFrame(
+        rows, "position int, column_name string, kind string, feature string"
+    )
+
+
 class ParquetTierCatalog:
     def __init__(self, root: str, n_buckets: int = 16):
         self.root = root

@@ -45,6 +45,7 @@ stats AS (
         row_number() OVER (PARTITION BY {part} ORDER BY turn_idx, ts) AS rn,
         lag(value, 1) OVER (PARTITION BY {part} ORDER BY turn_idx, ts) AS lag1,
         lag(value, 2) OVER (PARTITION BY {part} ORDER BY turn_idx, ts) AS lag2,
+        lag(value, 3) OVER (PARTITION BY {part} ORDER BY turn_idx, ts) AS lag3,
         max(value) OVER (PARTITION BY {part} ORDER BY turn_idx, ts ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS maxp1,
         max(value) OVER (PARTITION BY {part} ORDER BY turn_idx, ts ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS maxf1,
         max(value) OVER (PARTITION BY {part} ORDER BY turn_idx, ts ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS maxp3,
@@ -114,6 +115,16 @@ CORE_EXPRS = {
     "last_location_of_minimum": "CAST(max(CASE WHEN value = vmin THEN rn END) AS DOUBLE) / count(value)",
     "first_location_of_minimum": "CAST(min(CASE WHEN value = vmin THEN rn END) - 1 AS DOUBLE) / count(value)",
 }
+
+def autocorr_sql(lag: int) -> str:
+    """tsfresh autocorrelation(lag) over the stats CTE (general-lag twin
+    of functions.features.autocorrelation_agg)."""
+    return (
+        f"CASE WHEN count(value) > {lag} AND max(sigma) > 0 THEN "
+        f"sum(CASE WHEN lag{lag} IS NOT NULL THEN (value - mu) * (lag{lag} - mu) END) "
+        f"/ ((count(value) - {lag}) * max(sigma * sigma)) END"
+    )
+
 
 INT_FEATURES = {
     "turn_count", "count_above_mean", "count_below_mean",
