@@ -66,7 +66,11 @@ def pipeline_tiers_to_storage(spark, turns, out_root):
     day = cascade_up(spark.read.parquet(p_hr), "day")
     p_day = os.path.join(out_root, "day")
     day.write.mode("overwrite").parquet(p_day)
-    return sum(spark.read.parquet(p).count() for p in (p_min, p_hr, p_day))
+    # row counts from parquet footers — zero Spark jobs, so the timed
+    # section contains exactly one action per tier (the write)
+    import pyarrow.dataset as ds
+
+    return sum(ds.dataset(p, format="parquet").count_rows() for p in (p_min, p_hr, p_day))
 
 
 def run(cpus: int, sf_dir: str, n_synth: int, skip_synth: bool = False, reps: int = 1) -> dict:
@@ -154,6 +158,24 @@ def run(cpus: int, sf_dir: str, n_synth: int, skip_synth: bool = False, reps: in
         timed("rollup_hour_full_synth", lambda: _force(rollup_features(to_long_panel(turns_syn), tier="hour")))
 
     spark.stop()
+
+    # Scaling evidence (north rule: ≥0.8 efficiency N→4N): embed the
+    # latest tools/bench_scaling.py artifacts if present. These are
+    # measured on this box by separate taskset-pinned JVM pairs (see
+    # BENCH/BASELINE.md); re-generate with tools/bench_scaling.py.
+    scaling = {}
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    if os.path.isdir(bench_dir):
+        for f in sorted(os.listdir(bench_dir)):
+            if f.startswith("scaling_") and f.endswith(".json"):
+                try:
+                    with open(os.path.join(bench_dir, f)) as fh:
+                        scaling[f[len("scaling_"):-len(".json")]] = json.load(fh)
+                except (OSError, json.JSONDecodeError):
+                    pass
+    if scaling:
+        meta["scaling_evidence"] = scaling
+
     total = sum(timings.values())
     return {
         "metric": "e2e_rollup_wall_sec",

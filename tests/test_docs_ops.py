@@ -104,3 +104,59 @@ def test_multimodal_pipeline(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         extract_media_features(media, strict_decode=True).collect()
+
+
+def test_bmp_wav_codecs_roundtrip():
+    """The image/audio decode paths are REAL dependency-free codecs:
+    BMP (pure NumPy) and WAV (stdlib) roundtrip bit-exactly."""
+    import numpy as np
+
+    from ts_raster_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (33, 50)).astype(np.uint8)  # odd width: row padding
+    back = decode_bmp(encode_bmp(px))
+    assert back.shape == px.shape
+    assert np.array_equal(back, px.astype(np.float64))
+
+    samples = (rng.normal(0, 8000, 12345)).astype(np.int16)
+    got, rate = decode_wav(encode_wav(samples, rate=16000))
+    assert rate == 16000
+    assert np.array_equal(got, samples)
+
+
+def test_media_features_match_source_pixels(spark):
+    """mean_intensity for image rows equals the source array's
+    thumb-sampled mean — proves the Spark kernel decodes the actual
+    payload, not a fake."""
+    import numpy as np
+
+    from ts_raster_spark.operators.multimodal import (
+        decode_bmp,
+        extract_media_features,
+        gen_media,
+    )
+
+    media = gen_media(spark, n=12)
+    feats = (
+        extract_media_features(media)
+        .where("kind = 'image'")
+        .toPandas()
+        .set_index("media_id")
+    )
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where("kind = 'image'").collect()
+    }
+    assert len(feats) > 0
+    for mid, payload in payloads.items():
+        px = decode_bmp(payload)
+        yi = np.linspace(0, px.shape[0] - 1, 8).astype(int)
+        xi = np.linspace(0, px.shape[1] - 1, 8).astype(int)
+        want = round(float(px[np.ix_(yi, xi)].mean()), 4)
+        assert feats.loc[mid, "mean_intensity"] == want

@@ -28,7 +28,12 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_LOW, N_HIGH = 8, 32
+# N and 4N parallelism; override with SPARK_GRAFT_SCALE_NLOW/NHIGH.
+# 2→8 probes the regime BELOW this box's shared-bandwidth ceiling
+# (per the 26M-turn saturation finding in BENCH/BASELINE.md); 8→32 is
+# the full-box pair.
+N_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_NLOW", "8"))
+N_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_NHIGH", "32"))
 TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "8000000"))
 INPUT = os.path.join(REPO, ".bench_tmp", f"turns_scale_{TURNS}.parquet")
 LONGP = os.path.join(REPO, ".bench_tmp", f"long_scale_{TURNS}.parquet")
@@ -147,10 +152,11 @@ def main():
     # this box; the python-mp probe is the stabler of the two.
     ceiling = max(py_ceiling, jvm_ceiling)
 
+    ratio = N_HIGH / N_LOW
     rows = []
     for q in ("e2e_tiers", "agg_minute", "rollup_hour_full"):
         sp = lo[q] / hi[q]
-        rows.append((q, lo[q], hi[q], sp, sp / 4, (sp / 4) / ceiling))
+        rows.append((q, lo[q], hi[q], sp, sp / ratio, (sp / ratio) / ceiling))
 
     tp_lo = n_turns / lo["e2e_tiers"]
     tp_hi = n_turns / hi["e2e_tiers"]
@@ -161,16 +167,16 @@ def main():
         "",
         "North-rule evidence: identical jobs over the same deterministic "
         f"~{n_turns:,}-turn synthetic transcript input (incl. one "
-        "mega-conversation at ~5% of all rows) at `local[8]` vs "
-        "`local[32]`, each JVM CPU-pinned via taskset — the sandbox "
-        "stand-in for 8 vs 32 executor cores.",
+        f"mega-conversation at ~5% of all rows) at `local[{N_LOW}]` vs "
+        f"`local[{N_HIGH}]`, each JVM CPU-pinned via taskset — the sandbox "
+        f"stand-in for {N_LOW} vs {N_HIGH} executor cores.",
         "",
         "## Platform ceiling (what 4× cores can deliver on ONE box)",
         "",
         "| probe | N→4N speedup | efficiency |",
         "|---|---|---|",
-        f"| pure-Python mp integer burn | {4 * py_ceiling:.2f}× | {py_ceiling:.2f} |",
-        f"| pure Spark codegen sum (no I/O, no shuffle) | {4 * jvm_ceiling:.2f}× | {jvm_ceiling:.2f} |",
+        f"| pure-Python mp integer burn | {ratio * py_ceiling:.2f}× | {py_ceiling:.2f} |",
+        f"| pure Spark codegen sum (no I/O, no shuffle) | {ratio * jvm_ceiling:.2f}× | {jvm_ceiling:.2f} |",
         "",
         "Shared memory bus + all-core turbo drop cap even embarrassingly "
         "parallel work below 4× on this VM. A real 4N-executor cluster "
@@ -179,7 +185,7 @@ def main():
         "",
         "## Engine jobs",
         "",
-        "| job | local[8] s | local[32] s | speedup | eff (absolute) | eff (vs platform ceiling) |",
+        f"| job | local[{N_LOW}] s | local[{N_HIGH}] s | speedup | eff (absolute) | eff (vs platform ceiling) |",
         "|---|---|---|---|---|---|",
     ]
     for q, a, b, s, e, er in rows:
@@ -213,10 +219,22 @@ def main():
         "```",
         "",
     ]
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    path = os.path.join(REPO, "BENCH", f"scaling_{N_LOW}v{N_HIGH}.md")
     with open(path, "w") as f:
         f.write("\n".join(md))
     summary = {q: {"eff_abs": round(e, 3), "eff_vs_ceiling": round(er, 3)} for q, _, _, _, e, er in rows}
+    artifact = {
+        "n_low": N_LOW,
+        "n_high": N_HIGH,
+        "input_turns": n_turns,
+        "seconds_low": {q: lo[q] for q in ("e2e_tiers", "agg_minute", "rollup_hour_full")},
+        "seconds_high": {q: hi[q] for q in ("e2e_tiers", "agg_minute", "rollup_hour_full")},
+        "python_ceiling_eff": round(py_ceiling, 3),
+        "jvm_ceiling_eff": round(jvm_ceiling, 3),
+        "efficiency": summary,
+    }
+    with open(os.path.join(REPO, "BENCH", f"scaling_{N_LOW}v{N_HIGH}.json"), "w") as f:
+        json.dump(artifact, f, indent=1)
     print(json.dumps(summary))
     print(f"wrote {path}")
 

@@ -2,16 +2,29 @@
 
 Task-brief contract: image/audio/video are ``binary`` columns; decode /
 feature-extract / resize / frame-sample run as Arrow-batched kernels
-over ``mapInPandas``. The image/audio codec libraries are NOT in this
-container, so the decode step is STUBBED — ``decode=deterministic``
-produces a seeded fake (stable bytes→pseudo-pixels), ``decode=strict``
-raises ``NotImplementedError`` — while everything Spark-side (schema,
-partitioning, UDF signature, Arrow batch shape) is real and tested.
+over ``mapInPandas``.
+
+Decode status (no PIL/ffmpeg ships in this container, so the codecs
+here are dependency-free by design):
+
+- **image** — REAL decode: 24-bit uncompressed BMP parsed with pure
+  NumPy (:func:`decode_bmp`; :func:`encode_bmp` is the test-data twin).
+- **audio** — REAL decode: 16-bit PCM WAV via the stdlib ``wave``
+  module (:func:`decode_wav` / :func:`encode_wav`).
+- **video** — STUB: mp4 genuinely needs ffmpeg; ``strict=False``
+  produces a seeded deterministic fake, ``strict=True`` raises
+  ``NotImplementedError`` as the 'plug ffmpeg here' marker.
+
+Everything Spark-side — schema, partitioning, mapInPandas signature,
+Arrow batch shape — is real and identical for all three kinds.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pandas as pd
@@ -28,41 +41,104 @@ FEATURE_SCHEMA = (
     "thumb_w int, thumb_h int, mean_intensity double, frame_count int"
 )
 
+_BMP_HEADER_SIZE = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 grayscale array as a 24-bit uncompressed
+    BMP (channels replicated). Bottom-up rows, 4-byte row padding."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    pad = (-w * 3) % 4
+    img = np.repeat(px[::-1, :, None], 3, axis=2)  # bottom-up, B=G=R
+    rows = b"".join(img[i].tobytes() + b"\x00" * pad for i in range(h))
+    header = struct.pack("<2sIHHI", b"BM", _BMP_HEADER_SIZE + len(rows), 0, 0, _BMP_HEADER_SIZE)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return header + dib + rows
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to a (h, w) float64 grayscale
+    array (channel mean). Pure NumPy — no codec library."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", data, 10)[0]
+    _, w, h, _, bpp = struct.unpack_from("<IiiHH", data, 14)
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    stride = w * 3 + ((-w * 3) % 4)
+    arr = np.frombuffer(data, np.uint8, stride * abs(h), off).reshape(abs(h), stride)
+    img = arr[:, : w * 3].reshape(abs(h), w, 3).astype(np.float64).mean(axis=2)
+    return img[::-1] if h > 0 else img  # bottom-up unless height < 0
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode int16 mono samples as a PCM WAV (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a 16-bit PCM WAV to (int16 samples, sample rate)."""
+    with wave.open(io.BytesIO(data), "rb") as wv:
+        if wv.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        samples = np.frombuffer(wv.readframes(wv.getnframes()), dtype="<i2")
+        return samples, wv.getframerate()
+
 
 def gen_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+    """Deterministic media table with REAL payloads for image (BMP) and
+    audio (WAV); video payloads are seeded opaque bytes (mp4 would need
+    ffmpeg to produce)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (8 + i % 17)
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(payload),
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                64 + (i % 8) * 32 if kind != "audio" else None,
-                48 + (i % 8) * 24 if kind != "audio" else None,
-                float(i % 30 + 1) if kind != "image" else None,
-            )
-        )
+        rng = np.random.RandomState(seed * 100003 + i)
+        if kind == "image":
+            w, h = 64 + (i % 8) * 32, 48 + (i % 8) * 24
+            px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            payload, mime, dur = encode_bmp(px), "image/bmp", None
+        elif kind == "audio":
+            dur = float(i % 30 + 1)
+            t = np.arange(int(8000 * min(dur, 2.0)))
+            samples = (
+                6000 * np.sin(2 * np.pi * (110 + i) * t / 8000)
+                + rng.normal(0, 500, t.shape)
+            ).astype(np.int16)
+            payload, mime, w, h = encode_wav(samples), "audio/wav", None, None
+        else:
+            dur = float(i % 30 + 1)
+            payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (8 + i % 17)
+            mime, w, h = "video/mp4", 64 + (i % 8) * 32, 48 + (i % 8) * 24
+        rows.append((i, kind, bytearray(payload), mime, w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_stub(payload: bytes, width, height, strict: bool) -> np.ndarray:
-    """Stand-in for PIL/ffmpeg decode. ``strict`` raises — the marker
-    for 'plug a real codec here'."""
+def _decode(payload: bytes, mime: str, width, height, strict: bool) -> np.ndarray:
+    """Dispatch to the real codec by mime; video falls to the stub."""
+    if mime == "image/bmp":
+        return decode_bmp(payload)
+    if mime == "audio/wav":
+        samples, _ = decode_wav(payload)
+        # waveform as a (1, n) intensity row: |amplitude| scaled to 0..255
+        return (np.abs(samples.astype(np.float64)) / 32768.0 * 255.0).reshape(1, -1)
     if strict:
         raise NotImplementedError(
-            "media codecs (PIL/ffmpeg) are not available in this container; "
-            "swap _decode_stub for a real decoder in production"
+            f"no dependency-free codec for {mime!r} (video needs ffmpeg); "
+            "swap _decode for a real decoder in production"
         )
-    # width/height arrive as pandas NaN for audio rows
+    # deterministic fake for the stubbed kinds
     w = int(width) if width is not None and width == width else 8
     h = int(height) if height is not None and height == height else 8
     raw = np.frombuffer(hashlib.sha256(payload).digest() * ((w * h) // 32 + 1), dtype=np.uint8)
-    return raw[: w * h].reshape(h, w)
+    return raw[: w * h].reshape(h, w).astype(np.float64)
 
 
 def extract_media_features(
@@ -87,10 +163,11 @@ def extract_media_features(
                 "thumb_h": th,
             }
             means, frames = [], []
-            for payload, w, h, kind, dur in zip(
-                pdf["payload"], pdf["width"], pdf["height"], pdf["kind"], pdf["duration_s"]
+            for payload, mime, w, h, kind, dur in zip(
+                pdf["payload"], pdf["mime"], pdf["width"], pdf["height"],
+                pdf["kind"], pdf["duration_s"]
             ):
-                px = _decode_stub(bytes(payload), w, h, strict_decode)
+                px = _decode(bytes(payload), mime, w, h, strict_decode)
                 # nearest-neighbour resize to the thumb shape
                 yi = np.linspace(0, px.shape[0] - 1, th).astype(int)
                 xi = np.linspace(0, px.shape[1] - 1, tw).astype(int)
