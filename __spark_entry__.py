@@ -92,6 +92,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_relevance": Q.q_feature_relevance,
         "combine_periods": Q.q_combine_periods,
         "wide_to_long_panel": Q.q_wide_to_long_panel,
+        "retention_ttl_hour": Q.q_retention_ttl_hour,
+        "stream_rollup_minute": Q.q_stream_rollup_minute,
+        "late_data_merge_hour": Q.q_late_data_merge_hour,
         "autocorr_lags": Q.q_autocorr_lags,
         "feature_names_dim": Q.q_feature_names_dim,
         "balanced_panel_check": Q.q_balanced_panel_check,
@@ -431,6 +434,41 @@ FROM domain d LEFT JOIN p1 ON d.conv_id = p1.conv_id
 UNION ALL
 SELECT d.conv_id, 'p2' AS period, p2.turn_count, p2.mean_text_len
 FROM domain d LEFT JOIN p2 ON d.conv_id = p2.conv_id
+""",
+        # batch twin of the streaming windowed rollup — equality proves
+        # stream/batch parity of the continuous aggregate
+        "stream_rollup_minute": f"""{TURNS_CTE}
+SELECT strftime(date_trunc('minute', ts), '{TS_FMT}') AS bucket_start, conv_id,
+    count(*) AS turn_count,
+    {sql_r4('sum(CAST(length(text) AS DOUBLE))')} AS sum_text_len,
+    {sql_r4('min(CAST(length(text) AS DOUBLE))')} AS min_text_len,
+    {sql_r4('max(CAST(length(text) AS DOUBLE))')} AS max_text_len,
+    {sql_r4('sum(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END)')} AS tool_turns
+FROM turns GROUP BY date_trunc('minute', ts), conv_id
+""",
+        "retention_ttl_hour": f"""{LONG_CTE},
+points AS (
+    SELECT conv_id, kind, date_trunc('hour', ts) AS bucket_start,
+        count(value) AS turn_count, sum(value) AS sum_values,
+        sum(value * value) AS sum_squares, min(value) AS minimum, max(value) AS maximum
+    FROM long_panel WHERE kind = 'text_len' GROUP BY 1, 2, 3
+),
+h AS (SELECT max(bucket_start) AS horizon FROM points)
+SELECT conv_id, kind, strftime(bucket_start, '{TS_FMT}') AS bucket_start,
+    turn_count, {sql_r4('sum_values')} AS sum_values,
+    {sql_r4('sum_squares')} AS sum_squares,
+    {sql_r4('minimum')} AS minimum, {sql_r4('maximum')} AS maximum
+FROM points, h WHERE bucket_start >= horizon - INTERVAL 7 DAY
+""",
+        # full recompute from ALL turns — equality to the Spark side's
+        # ontime-then-merge result proves MERGE idempotence/convergence
+        "late_data_merge_hour": f"""{LONG_CTE}
+SELECT conv_id, kind, strftime(date_trunc('hour', ts), '{TS_FMT}') AS bucket_start,
+    count(value) AS turn_count, {sql_r4('sum(value)')} AS sum_values,
+    {sql_r4('sum(value * value)')} AS sum_squares,
+    {sql_r4('min(value)')} AS minimum, {sql_r4('max(value)')} AS maximum
+FROM long_panel WHERE kind = 'text_len'
+GROUP BY conv_id, kind, date_trunc('hour', ts)
 """,
         "autocorr_lags": f"""{LONG_CTE},
 base AS (

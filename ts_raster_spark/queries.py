@@ -447,6 +447,78 @@ def q_export_wide_features(spark, sf_dir):
     return out
 
 
+def q_stream_rollup_minute(spark, sf_dir):
+    """Structured-Streaming continuous aggregate exposed to the batch
+    gate: the turns table is drained through a file-source stream →
+    tumbling-window rollup → memory sink with an availableNow trigger
+    (complete mode), and the final table is returned. The oracle is the
+    equivalent BATCH rollup — equality proves stream/batch parity of
+    the windowed aggregate (streaming/rollup_stream.py)."""
+    import os as _os
+    import tempfile
+
+    from ts_raster_spark.streaming.rollup_stream import (
+        run_to_memory,
+        stream_rollup,
+        stream_turns,
+    )
+
+    turns = load_turns(spark, sf_dir)
+    tag = abs(hash(sf_dir)) % 10**8
+    path = _os.path.join(tempfile.gettempdir(), f"tsrs_stream_in_{tag}")
+    turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts").write.mode(
+        "overwrite"
+    ).parquet(path)
+    rolled = stream_rollup(stream_turns(spark, path), tier="minute")
+    name = f"tsrs_stream_mem_{tag}"
+    run_to_memory(rolled, name, "complete")
+    return finalize(spark.table(name))
+
+
+def q_retention_ttl_hour(spark, sf_dir):
+    """Retention TTL enforcement (north rule): hour-tier buckets older
+    than 7 days before the panel's own horizon (max bucket_start) are
+    dropped. The cutoff is a deterministic function of the data, never
+    of wall clock — the operators/retention.apply_retention contract."""
+    long_df = load_long(spark, sf_dir).where(F.col("kind") == "text_len")
+    hour = rollup_simple(long_df, "hour")
+    horizon = hour.agg(F.max("bucket_start").alias("_horizon"))
+    kept = (
+        hour.crossJoin(F.broadcast(horizon))
+        .where(F.col("bucket_start") >= F.col("_horizon") - F.expr("INTERVAL 7 DAYS"))
+        .drop("_horizon")
+    )
+    return finalize(kept)
+
+
+def q_late_data_merge_hour(spark, sf_dir):
+    """Late-data idempotent MERGE (north rule, operators/retention.
+    merge_late_turns semantics inline): a deterministic 'late' subset of
+    turns is withheld, the hour tier is built from the on-time rows,
+    then the late rows are merged by recomputing exactly the affected
+    conversations' buckets and upserting them (anti-join + union — the
+    Iceberg MERGE INTO stand-in). The oracle recomputes the tier from
+    ALL turns: equality IS the proof that the merge converges to the
+    full recompute."""
+    turns = load_turns(spark, sf_dir)
+    is_late = (F.pmod(F.xxhash64("conv_id"), F.lit(7)) == 3) & (F.col("turn_idx") >= 4)
+    ontime = turns.where(~is_late)
+    late = turns.where(is_late)
+
+    tier_ontime = rollup_simple(
+        to_long_panel(ontime).where(F.col("kind") == "text_len"), "hour"
+    )
+    affected = late.select("conv_id").distinct()
+    recomputed = rollup_simple(
+        to_long_panel(
+            turns.join(F.broadcast(affected), "conv_id", "left_semi")
+        ).where(F.col("kind") == "text_len"),
+        "hour",
+    )
+    kept = tier_ontime.join(F.broadcast(affected), "conv_id", "left_anti")
+    return finalize(kept.unionByName(recomputed))
+
+
 def q_wide_to_long_panel(spark, sf_dir):
     """wide_to_long_target_features analog (prep.py:663-695): melt the
     period-suffixed combined table back to one row per (conv, period)."""
