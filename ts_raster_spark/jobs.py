@@ -36,6 +36,9 @@ class RollupJobConfig:
     compress: bool = False
     n_buckets: int = 16
     checkpoint_slices: int = 0  # 0 = no checkpointing
+    # materialized partition column to slice checkpoints on (catalog
+    # bucket_id) — slices then PRUNE files instead of filtering scans
+    slice_col: str | None = None
     kinds: tuple[str, ...] = field(default=())  # () = all channels
 
 
@@ -58,7 +61,10 @@ def run_rollup_job(
         from ts_raster_spark.plans.checkpoint import read_result
 
         ckpt_dir = f"{cfg.out_root}/_ckpt_minute"
-        run_checkpointed(spark, turns, to_minute, ckpt_dir, n_slices=cfg.checkpoint_slices)
+        run_checkpointed(
+            spark, turns, to_minute, ckpt_dir,
+            n_slices=cfg.checkpoint_slices, slice_col=cfg.slice_col,
+        )
         minute = read_result(spark, ckpt_dir)
     else:
         minute = to_minute(turns)
