@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": Q.q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
         "dedup_simhash": Q.q_dedup_simhash,
+        "dedup_components": Q.q_dedup_components,
         "ann_topk_cosine": Q.q_ann_topk_cosine,
         "ann_signlsh": Q.q_ann_signlsh,
         "ann_ivf": Q.q_ann_ivf,  # rows-only: k-means not SQL-reproducible
@@ -94,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wide_to_long_panel": Q.q_wide_to_long_panel,
         "retention_ttl_hour": Q.q_retention_ttl_hour,
         "stream_rollup_minute": Q.q_stream_rollup_minute,
+        "sketch_quantile_hour": Q.q_sketch_quantile_hour,
         "late_data_merge_hour": Q.q_late_data_merge_hour,
         "autocorr_lags": Q.q_autocorr_lags,
         "feature_names_dim": Q.q_feature_names_dim,
@@ -446,6 +448,37 @@ SELECT strftime(date_trunc('minute', ts), '{TS_FMT}') AS bucket_start, conv_id,
     {sql_r4('sum(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END)')} AS tool_turns
 FROM turns GROUP BY date_trunc('minute', ts), conv_id
 """,
+        # hour sketch computed directly from raw — equality to Spark's
+        # minute→hour merged sketch proves the sketch cascade is exact
+        "sketch_quantile_hour": f"""{LONG_CTE},
+base AS (
+    SELECT conv_id, kind, ts, value FROM long_panel WHERE kind IN ('text_len', 'latency_s')
+),
+rng AS (SELECT kind, min(value) AS lo, max(value) AS hi FROM base GROUP BY kind),
+binned AS (
+    SELECT b.conv_id, b.kind, date_trunc('hour', b.ts) AS bucket_start,
+        CASE WHEN r.hi > r.lo
+             THEN least(CAST(floor((b.value - r.lo) / ((r.hi - r.lo) / 64)) AS INTEGER), 63)
+             ELSE 0 END AS bin
+    FROM base b JOIN rng r ON b.kind = r.kind
+),
+sk AS (
+    SELECT conv_id, kind, bucket_start, bin, count(*) AS n
+    FROM binned GROUP BY 1, 2, 3, 4
+),
+c AS (
+    SELECT sk.conv_id, sk.kind, sk.bucket_start, sk.bin, sk.n, r.lo, r.hi,
+        sum(sk.n) OVER (PARTITION BY sk.conv_id, sk.kind, sk.bucket_start ORDER BY sk.bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(sk.n) OVER (PARTITION BY sk.conv_id, sk.kind, sk.bucket_start) AS tot
+    FROM sk JOIN rng r ON sk.kind = r.kind
+)
+SELECT conv_id, kind, strftime(bucket_start, '{TS_FMT}') AS bucket_start,
+    {sql_r4("min(CASE WHEN cum - n < 0.5 * tot AND 0.5 * tot <= cum THEN CASE WHEN hi > lo THEN lo + (hi - lo) / 64 * (bin + (0.5 * tot - (cum - n)) / n) ELSE lo END END)")} AS q50_sketch,
+    {sql_r4("min(CASE WHEN cum - n < 0.95 * tot AND 0.95 * tot <= cum THEN CASE WHEN hi > lo THEN lo + (hi - lo) / 64 * (bin + (0.95 * tot - (cum - n)) / n) ELSE lo END END)")} AS q95_sketch,
+    CAST(max(tot) AS BIGINT) AS turn_count
+FROM c GROUP BY conv_id, kind, bucket_start
+""",
         "retention_ttl_hour": f"""{LONG_CTE},
 points AS (
     SELECT conv_id, kind, date_trunc('hour', ts) AS bucket_start,
@@ -604,6 +637,7 @@ WHERE substr(md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)), 1, 8) <
         "dedup_ngram_jaccard": DD.jaccard_sql(0.8),
         "dedup_minhash_lsh": DD.minhash_lsh_sql(8, 2),
         "dedup_simhash": DD.simhash16_sql(),
+        "dedup_components": DD.components_sql(8, 2),
         "ann_topk_cosine": DD.cosine_topk_sql(Q.ANN_QUERY_IDS, 5),
         "ann_signlsh": DD.signlsh_topk_sql(Q.ANN_QUERY_IDS, 3),
         "dedup_embedding_cosine": f"""WITH pairs AS (

@@ -160,3 +160,27 @@ def test_media_features_match_source_pixels(spark):
         xi = np.linspace(0, px.shape[1] - 1, 8).astype(int)
         want = round(float(px[np.ix_(yi, xi)].mean()), 4)
         assert feats.loc[mid, "mean_intensity"] == want
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation converges on a chain (diameter > 1 forces
+    multiple rounds) and carries isolated nodes as singletons."""
+    from pyspark.sql import functions as F
+
+    from ts_raster_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 11)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 99]], "node long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, all_nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 10, 99: 99}
+
+    # without all_nodes, only edge-touched nodes appear
+    got2 = connected_components(edges)
+    assert got2.count() == 7
+    assert got2.where(F.col("node") == 99).count() == 0

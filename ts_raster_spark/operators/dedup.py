@@ -128,6 +128,64 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, band_size: int = 2) -> DataFr
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    all_nodes: DataFrame | None = None,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pair edges: min-label
+    propagation to a fixpoint — the cluster step that turns pairwise
+    dedup output into canonical groups (component id = min doc_id in the
+    group; a pipeline keeps one doc per component).
+
+    Iterative Spark shape: each round joins current labels to the
+    undirected edge list, takes the per-node min over self+neighbors,
+    and stops when no label changed. Rounds needed = graph diameter
+    (near-dup clusters are shallow — a handful); every round is one
+    shuffle on the node key and the plan is cut per round with
+    ``localCheckpoint`` so lineage cannot grow exponentially. For
+    web-graph diameters, swap in the large-star/small-star variant —
+    the round structure here is the same.
+
+    ``all_nodes`` (one ``node`` column) adds isolated nodes as their own
+    singleton components. Output: (node, component).
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    if all_nodes is not None:
+        nodes = nodes.unionByName(all_nodes.select("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    for _ in range(max_iter):
+        nb_min = (
+            und.join(labels, und["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("comp").alias("_nb_comp"))
+            .withColumnRenamed("u", "node")
+        )
+        new_labels = (
+            labels.join(nb_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("_nb_comp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
 def simhash16(docs: DataFrame) -> DataFrame:
     """16-bit SimHash from the first 4 hex digits of md5(token), summed
     with multiplicity. Output: (doc_id, simhash16 int)."""

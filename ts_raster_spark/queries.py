@@ -252,6 +252,19 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), k=8, band_size=2)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clustering: connected components over the MinHash-LSH
+    candidate pairs (pairs → canonical groups; component id = min
+    doc_id). Oracle = recursive transitive-closure CTE."""
+    from ts_raster_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, k=8, band_size=2)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    out = connected_components(pairs, all_nodes=nodes)
+    return out.select(F.col("node").alias("doc_id"), "component")
+
+
 def q_dedup_simhash(spark, sf_dir):
     from ts_raster_spark.operators.dedup import simhash16
 
@@ -445,6 +458,26 @@ def q_export_wide_features(spark, sf_dir):
         F.coalesce(r4(F.col("latency_s_max")), F.lit(-9999.0)).alias("latency_s_max"),
     )
     return out
+
+
+def q_sketch_quantile_hour(spark, sf_dir):
+    """Mergeable-sketch quantile cascade: minute-tier histogram sketches
+    merged (bin-count sums) up to hour, quantiles read off the merged
+    sketch. The oracle computes the HOUR sketch directly from raw — so
+    equality proves the sketch merge is exact, the quantile rule is
+    engine-independent, and the hour tier never re-reads raw data."""
+    from ts_raster_spark.operators.sketch import (
+        histogram_sketch,
+        merge_sketch,
+        sketch_quantiles,
+        value_range,
+    )
+
+    long_df = load_long(spark, sf_dir).where(F.col("kind").isin("text_len", "latency_s"))
+    rng = value_range(long_df)
+    minute = histogram_sketch(long_df, "minute", rng, bins=64)
+    hour = merge_sketch(minute, "hour")
+    return finalize(sketch_quantiles(hour, rng, qs=(0.5, 0.95), bins=64))
 
 
 def q_stream_rollup_minute(spark, sf_dir):

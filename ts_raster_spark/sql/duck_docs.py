@@ -76,6 +76,37 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def components_sql(k: int = 8, band_size: int = 2) -> str:
+    """Connected components over the MinHash-LSH candidate pairs via a
+    recursive transitive-closure CTE (min reachable doc_id = component).
+    Twin of dedup.connected_components over minhash_lsh_pairs."""
+    mh = ", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(k))
+    n_bands = k // band_size
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS band_key FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""WITH RECURSIVE {DSH_CTE},
+sig AS (SELECT doc_id, {mh} FROM dsh GROUP BY doc_id),
+bands AS ({band_rows}),
+edges AS (
+    SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+),
+und AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT und.v, reach.lbl FROM reach JOIN und ON und.u = reach.node
+)
+SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
+"""
+
+
 def simhash16_sql() -> str:
     scores = []
     for j in range(16):
