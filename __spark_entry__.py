@@ -43,6 +43,7 @@ _FULL = [
     "variation_coefficient", "absolute_sum_of_changes", "cid_ce",
     "c3_lag1", "time_reversal_asymmetry_lag1",
     "number_peaks_n1", "number_peaks_n3", "number_crossing_0",
+    "benford_correlation", "energy_ratio_chunk0_of10",
 ]
 
 
@@ -625,13 +626,17 @@ WHERE substr(md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)), 1, 8) <
 """,
         # kernel_features_cwt: the CWT kernel has no SQL analog; the
         # oracle is a checked-in golden parquet generated independently
-        # of Spark (tools/make_golden_cwt.py: DuckDB long panel +
-        # NumPy reference calculators) at the driver's gate sf (0.01).
+        # of Spark (tools/make_golden_cwt.py: DuckDB long panel + NumPy
+        # reference calculators). One block per scale factor, keyed by
+        # the events row count so the static SQL self-selects the right
+        # block at any gate SF.
         "kernel_features_cwt": (
-            "SELECT * FROM '"
+            "SELECT conv_id, kind, turn_count, mean, abs_energy, "
+            "number_cwt_peaks_n6, number_cwt_peaks_n12, "
+            "longest_strike_above_mean, longest_strike_below_mean FROM '"
             + os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "tests", "golden", "kernel_cwt_sf001.parquet")
-            + "'"
+                           "tests", "golden", "kernel_cwt_golden.parquet")
+            + "' WHERE n_events = (SELECT count(*) FROM events)"
         ),
         "dedup_exact": DD.exact_dedup_sql(),
         "dedup_ngram_jaccard": DD.jaccard_sql(0.8),

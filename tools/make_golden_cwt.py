@@ -13,8 +13,13 @@ ordering, Arrow batching, schema) delivers each series intact. The CWT
 algorithm itself is separately pinned to analytic signals in
 tests/test_kernels_cwt.py.
 
-Usage: python tools/make_golden_cwt.py [sf_dir] [out_parquet]
-Defaults: /root/testdata/sf0.01 -> tests/golden/kernel_cwt_sf001.parquet
+The golden carries one block per scale factor, each tagged with that
+SF's total events row count (``n_events``); the oracle SQL self-selects
+its block with ``WHERE n_events = (SELECT count(*) FROM events)`` — so
+one static SQL string stays correct at every gate SF.
+
+Usage: python tools/make_golden_cwt.py [sf_dir ...] [--out out_parquet]
+Defaults: sf0.001 sf0.01 sf0.1 -> tests/golden/kernel_cwt_golden.parquet
 """
 
 from __future__ import annotations
@@ -51,16 +56,10 @@ def r4(x: float) -> float:
     return float(np.round(x + 1e-9, 4)) + 0.0
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                          "tests", "golden", "kernel_cwt_sf001.parquet")
-    )
+def one_sf(sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
     panel = con.execute(
         LONG_CTE
         + " SELECT conv_id, turn_idx, ts, value FROM long_panel"
@@ -72,6 +71,7 @@ def main() -> None:
         x = g["value"].to_numpy(dtype=np.float64)
         rows.append(
             {
+                "n_events": int(n_events),
                 "conv_id": conv_id,
                 "kind": "text_len",
                 "turn_count": int(len(x)),
@@ -84,12 +84,27 @@ def main() -> None:
             }
         )
     df = pd.DataFrame(rows)
+    df["n_events"] = df["n_events"].astype("int64")
     df["turn_count"] = df["turn_count"].astype("int64")
     for c in KEEP_DOUBLES:
         df[c] = df[c].astype("float64")
+    return df
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dirs = args or [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "golden", "kernel_cwt_golden.parquet",
+    )
+    if "--out" in sys.argv:
+        out = sys.argv[sys.argv.index("--out") + 1]
+    blocks = [one_sf(d) for d in sf_dirs]
+    df = pd.concat(blocks, ignore_index=True)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     df.to_parquet(out, index=False)
-    print(f"wrote {len(df)} rows -> {out}")
+    print(f"wrote {len(df)} rows ({len(blocks)} sf blocks) -> {out}")
 
 
 if __name__ == "__main__":

@@ -221,6 +221,68 @@ def autocorrelation_agg(lag: int = 1) -> dict[str, Column]:
     }
 
 
+def benford_agg() -> dict[str, Column]:
+    """tsfresh benford_correlation as a closed-form native aggregate:
+    Pearson r between the observed leading-digit distribution q (digits
+    1..9, zeros excluded from the denominator) and the constant Benford
+    vector p. Since Σq = 1 exactly, q̄ = 1/9 and
+        r = (Σ p_d q_d − 9 p̄ q̄) / (σ_p · sqrt(Σ q_d² − 9 q̄²)).
+    Needs no helper columns (9 conditional sums). Leading digit via
+    floor(|x| / 10^floor(log10|x|)) — agrees with the string-scientific
+    kernel oracle except on values within 1 ulp below a power of ten.
+    """
+    import math
+
+    absv = F.abs(F.col(V))
+    digit = F.when(absv == 0, F.lit(0)).otherwise(
+        F.floor(absv / F.pow(F.lit(10.0), F.floor(F.log10(absv)))).cast("int")
+    )
+    p = [math.log10(1 + 1 / d) for d in range(1, 10)]
+    pbar = sum(p) / 9.0
+    sp = math.sqrt(sum((v - pbar) ** 2 for v in p))
+    counts = [F.sum((digit == d).cast("double")) for d in range(1, 10)]
+    csum = counts[0]
+    for c in counts[1:]:
+        csum = csum + c
+    # null-safe denominators: ANSI mode evaluates division eagerly even
+    # under a when() guard, so a zero divisor must become NULL, not 0
+    csum_nz = F.when(csum > 0, csum)
+    obs = [c / csum_nz for c in counts]
+    spq = obs[0] * p[0]
+    sq2 = obs[0] * obs[0]
+    for d in range(1, 9):
+        spq = spq + obs[d] * p[d]
+        sq2 = sq2 + obs[d] * obs[d]
+    qbar = 1.0 / 9.0
+    var_q = sq2 - 9.0 * qbar * qbar
+    r = (spq - 9.0 * pbar * qbar) / F.when(var_q > 1e-30, F.lit(sp) * F.sqrt(var_q))
+    return {
+        "benford_correlation": F.when((csum > 0) & (var_q > 1e-30), r)
+    }
+
+
+def energy_ratio_agg(num_segments: int = 10, segment_focus: int = 0) -> dict[str, Column]:
+    """tsfresh energy_ratio_by_chunks: Σx² of the focus chunk over total
+    Σx², chunks per np.array_split (first n%s chunks one element
+    longer). Requires ``attach_group_stats`` (RN, _nrows)."""
+    n = F.col("_nrows")
+    s = num_segments
+    f = segment_focus
+    k = F.floor(n / s)
+    m = n % s
+    lo = f * k + F.least(F.lit(f).cast("long"), m)
+    hi = lo + k + F.when(F.lit(f) < m, 1).otherwise(0)
+    v = F.col(V)
+    in_chunk = (F.col(RN) > lo) & (F.col(RN) <= hi)
+    total = F.sum(v * v)
+    total_nz = F.when(total > 0, total)  # NULL divisor under ANSI, never /0
+    return {
+        f"energy_ratio_chunk{f}_of{s}": F.when(
+            total > 0, F.coalesce(F.sum(F.when(in_chunk, v * v)), F.lit(0.0)) / total_nz
+        )
+    }
+
+
 def location_aggs() -> dict[str, Column]:
     """Relative locations of extrema (tsfresh, 0-based argmin/argmax):
 
@@ -256,11 +318,13 @@ def default_feature_aggs(include_order_sensitive: bool = True) -> dict[str, Colu
     aggs.update(moment_aggs())
     aggs.update(ratio_beyond_r_sigma_aggs())
     aggs.update(large_standard_deviation_aggs())
+    aggs.update(benford_agg())
     if include_order_sensitive:
         aggs.update(change_aggs())
         aggs.update(autocorrelation_agg(1))
         aggs.update(location_aggs())
         aggs.update(peaks_aggs())
+        aggs.update(energy_ratio_agg())
     return aggs
 
 

@@ -32,6 +32,7 @@ HELPER_FREE_FEATURES = {
     "variance", "standard_deviation", "abs_energy", "root_mean_square",
     "mean_change", "quantile_q05", "quantile_q15", "quantile_q85",
     "quantile_q95", "large_standard_deviation_r25", "variation_coefficient",
+    "benford_correlation",
 }
 
 

@@ -496,8 +496,10 @@ def q_stream_rollup_minute(spark, sf_dir):
         stream_turns,
     )
 
+    import hashlib
+
     turns = load_turns(spark, sf_dir)
-    tag = abs(hash(sf_dir)) % 10**8
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]  # stable across runs
     path = _os.path.join(tempfile.gettempdir(), f"tsrs_stream_in_{tag}")
     turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts").write.mode(
         "overwrite"

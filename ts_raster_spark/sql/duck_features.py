@@ -37,6 +37,9 @@ def stats_cte(keys: list[str], src: str = "long_panel") -> str:
     return f"""
 stats AS (
     SELECT *,
+        CASE WHEN abs(value) = 0 THEN 0
+             ELSE CAST(floor(abs(value) / power(10, floor(log10(abs(value))))) AS INTEGER)
+        END AS bdigit,
         avg(value) OVER (PARTITION BY {part}) AS mu,
         stddev_pop(value) OVER (PARTITION BY {part}) AS sigma,
         max(value) OVER (PARTITION BY {part}) AS vmax,
@@ -53,6 +56,36 @@ stats AS (
     FROM {src}
 )
 """
+
+
+def _benford_sql() -> str:
+    """Closed-form Benford Pearson r over the per-digit counts c_d
+    (digits 1..9 from the stats CTE's ``bdigit``): since Σq = 1 exactly,
+    r = (Σ p_d c_d / Σc − p̄) / (σ_p · sqrt(Σ c_d² / (Σc)² − 1/9))."""
+    import math
+
+    p = [math.log10(1 + 1 / d) for d in range(1, 10)]
+    pbar = sum(p) / 9.0
+    sp = math.sqrt(sum((v - pbar) ** 2 for v in p))
+    counts = [f"sum(CASE WHEN bdigit = {d} THEN 1.0 ELSE 0.0 END)" for d in range(1, 10)]
+    csum = "(" + " + ".join(counts) + ")"
+    spq = "(" + " + ".join(f"{p[d - 1]!r} * {counts[d - 1]}" for d in range(1, 10)) + ")"
+    sq2 = "(" + " + ".join(f"{c} * {c}" for c in counts) + ")"
+    var_q = f"({sq2} / ({csum} * {csum}) - 1.0 / 9.0)"
+    r = f"({spq} / {csum} - {pbar!r}) / ({sp!r} * sqrt({var_q}))"
+    return f"CASE WHEN {csum} > 0 AND {var_q} > 1e-30 THEN {r} END"
+
+
+def _energy_ratio_sql(s: int = 10, f: int = 0) -> str:
+    """np.array_split chunk f of s over rn/nrows (stats CTE)."""
+    lo = f"({f} * floor(nrows / {s}) + least({f}, nrows % {s}))"
+    hi = f"({lo} + floor(nrows / {s}) + CASE WHEN {f} < nrows % {s} THEN 1 ELSE 0 END)"
+    chunk = f"sum(CASE WHEN rn > {lo} AND rn <= {hi} THEN value * value END)"
+    return (
+        f"CASE WHEN sum(value * value) > 0 "
+        f"THEN coalesce({chunk}, 0.0) / sum(value * value) END"
+    )
+
 
 
 CORE_EXPRS = {
@@ -110,6 +143,8 @@ CORE_EXPRS = {
     "number_peaks_n3": (
         "sum(CASE WHEN rn > 3 AND rn <= nrows - 3 AND value > maxp3 AND value > maxf3 THEN 1 ELSE 0 END)"
     ),
+    "benford_correlation": _benford_sql(),
+    "energy_ratio_chunk0_of10": _energy_ratio_sql(10, 0),
     "last_location_of_maximum": "CAST(max(CASE WHEN value = vmax THEN rn END) AS DOUBLE) / count(value)",
     "first_location_of_maximum": "CAST(min(CASE WHEN value = vmax THEN rn END) - 1 AS DOUBLE) / count(value)",
     "last_location_of_minimum": "CAST(max(CASE WHEN value = vmin THEN rn END) AS DOUBLE) / count(value)",
