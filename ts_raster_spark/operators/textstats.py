@@ -58,13 +58,19 @@ TOKEN_SPLIT = "filter(split(trim(text), '[ ]+'), x -> x != '')"
 
 def token_stats(docs: DataFrame) -> DataFrame:
     """Whitespace tokens + a BPE-ish proxy (≈ chars/4, the common LLM
-    rule of thumb) + alnum-word count."""
+    rule of thumb) + alnum-word count + a BPE-ish regex segmentation
+    count (letter runs / digit runs / single punctuation marks — the
+    GPT-2 pre-tokenizer shape, simplified to a dialect both Java regex
+    and RE2 execute identically)."""
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_measured"),
         F.size(F.expr(TOKEN_SPLIT)).cast("long").alias("n_ws_tokens"),
         F.size(F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")).cast("long").alias("n_words"),
         F.ceil(F.length("text") / 4.0).cast("long").alias("n_bpe_est"),
+        F.size(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n]', 0)")
+        ).cast("long").alias("n_bpe_tokens"),
     )
 
 

@@ -230,12 +230,13 @@ FROM scored
 
 
 def token_stats_sql() -> str:
-    return """
+    return r"""
 SELECT doc_id,
     length(text) AS n_chars_measured,
     len(list_filter(string_split_regex(trim(text), '[ ]+'), x -> x != '')) AS n_ws_tokens,
     len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS n_words,
-    CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+    CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
+    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n]')) AS n_bpe_tokens
 FROM documents
 """
 
