@@ -15,8 +15,10 @@ from ts_raster_spark import queries as Q
 SF = "/root/testdata/sf0.001"
 
 GOLDEN = {
-    "conv_features": (15, "b58f2ef6feaf4052c9219c6308f4c0e0a60ec86265c50327dccb0f5471750aec"),
-    "rollup_hour_full": (1888, "182512ce15a08d5d61f02f03cdd5196eb4ca28448f721ee01a79b06ead97ba7f"),
+    # updated round 2: +benford_correlation +energy_ratio_chunk0_of10
+    # columns in the full rollups (conscious semantic extension)
+    "conv_features": (15, "96d504c6447c42c46d6e7abe1ecaaa1bf6f2a51cd25b3a171ed5f02533077e98"),
+    "rollup_hour_full": (1888, "5ad56ede5ee3b87b0700ff6832ee84f45417db22b8b238a81886a17186dcd3c5"),
     "turns_derivation": (1000, "5199998853fc5bd8c6a34907e0f01159c7e55729002f20f50702d586ff1949cd"),
 }
 

@@ -488,7 +488,6 @@ def q_stream_rollup_minute(spark, sf_dir):
     equivalent BATCH rollup — equality proves stream/batch parity of
     the windowed aggregate (streaming/rollup_stream.py)."""
     import os as _os
-    import tempfile
 
     from ts_raster_spark.streaming.rollup_stream import (
         run_to_memory,
@@ -500,7 +499,10 @@ def q_stream_rollup_minute(spark, sf_dir):
 
     turns = load_turns(spark, sf_dir)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]  # stable across runs
-    path = _os.path.join(tempfile.gettempdir(), f"tsrs_stream_in_{tag}")
+    # keep scratch inside the repo (sandbox contract: no writes outside)
+    root = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".bench_tmp")
+    _os.makedirs(root, exist_ok=True)
+    path = _os.path.join(root, f"tsrs_stream_in_{tag}")
     turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts").write.mode(
         "overwrite"
     ).parquet(path)
