@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_ttl_hour": Q.q_retention_ttl_hour,
         "stream_rollup_minute": Q.q_stream_rollup_minute,
         "sketch_quantile_hour": Q.q_sketch_quantile_hour,
+        "stream_stateful_counts": Q.q_stream_stateful_counts,
         "late_data_merge_hour": Q.q_late_data_merge_hour,
         "autocorr_lags": Q.q_autocorr_lags,
         "feature_names_dim": Q.q_feature_names_dim,
@@ -448,6 +449,23 @@ SELECT strftime(date_trunc('minute', ts), '{TS_FMT}') AS bucket_start, conv_id,
     {sql_r4('max(CAST(length(text) AS DOUBLE))')} AS max_text_len,
     {sql_r4('sum(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END)')} AS tool_turns
 FROM turns GROUP BY date_trunc('minute', ts), conv_id
+""",
+        # batch twin of the stateful stream counter's FINAL state
+        "stream_stateful_counts": f"""{TURNS_CTE},
+agg AS (SELECT conv_id, count(*) AS n_turns FROM turns GROUP BY conv_id),
+ranked AS (
+    SELECT conv_id, ts,
+        row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC, ts DESC) AS rnd
+    FROM turns
+),
+lat AS (
+    SELECT conv_id,
+        epoch(max(CASE WHEN rnd = 1 THEN ts END))
+            - epoch(max(CASE WHEN rnd = 2 THEN ts END)) AS last_latency_s
+    FROM ranked WHERE rnd <= 2 GROUP BY conv_id
+)
+SELECT a.conv_id, a.n_turns, round(l.last_latency_s, 4) AS last_latency_s
+FROM agg a LEFT JOIN lat l ON a.conv_id = l.conv_id
 """,
         # hour sketch computed directly from raw — equality to Spark's
         # minute→hour merged sketch proves the sketch cascade is exact

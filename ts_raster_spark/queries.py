@@ -460,6 +460,49 @@ def q_export_wide_features(spark, sf_dir):
     return out
 
 
+def q_stream_stateful_counts(spark, sf_dir):
+    """applyInPandasWithState exposed to the batch gate: per-conversation
+    running state (cumulative turn count + latency of the most recent
+    turn) drained with an availableNow trigger. The input is written as
+    ONE sorted file so the finite stream is a single ordered micro-batch
+    (production relies on watermarked ordering instead); the oracle is
+    the batch SQL for the same final state."""
+    import hashlib
+    import os as _os
+
+    from ts_raster_spark.streaming.rollup_stream import (
+        run_to_memory,
+        stateful_turn_counter,
+        stream_turns,
+    )
+
+    turns = load_turns(spark, sf_dir)
+    tag = hashlib.md5(f"state:{sf_dir}".encode()).hexdigest()[:8]
+    root = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".bench_tmp")
+    _os.makedirs(root, exist_ok=True)
+    path = _os.path.join(root, f"tsrs_state_in_{tag}")
+    (
+        turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .orderBy("conv_id", "turn_idx")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    counted = stateful_turn_counter(stream_turns(spark, path))
+    name = f"tsrs_state_mem_{tag}"
+    run_to_memory(counted, name, "update")
+    # n_turns is monotone per conv, so the final state row is max(n_turns)
+    final = (
+        spark.table(name)
+        .groupBy("conv_id")
+        .agg(
+            F.max("n_turns").cast("long").alias("n_turns"),
+            F.expr("max_by(last_latency_s, n_turns)").alias("last_latency_s"),
+        )
+    )
+    return finalize(final)
+
+
 def q_sketch_quantile_hour(spark, sf_dir):
     """Mergeable-sketch quantile cascade: minute-tier histogram sketches
     merged (bin-count sums) up to hour, quantiles read off the merged
