@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": Q.q_asof_join,
         "session_windows": Q.q_session_windows,
         "moving_stats": Q.q_moving_stats,
+        "moving_quantiles": Q.q_moving_quantiles,
         "stratified_sample": Q.q_stratified_sample,
         "time_weighted_avg": Q.q_time_weighted_avg,
         # Arrow-kernel path: value-checked against a checked-in golden
@@ -625,6 +626,13 @@ SELECT conv_id, kind, strftime(bucket_start, '{TS_FMT}') AS bucket_start,
     {sql_r4('sum(value * (t_until - t_from)) / sum(t_until - t_from)')} AS twa,
     count(*) AS n_obs
 FROM weighted GROUP BY conv_id, kind, bucket_start
+""",
+        "moving_quantiles": f"""{LONG_CTE}
+SELECT conv_id, turn_idx,
+    round(quantile_cont(value, 0.5) OVER w5, 4) AS rolling_median_5,
+    round(quantile_cont(value, 0.95) OVER w5, 4) AS rolling_q95_5
+FROM long_panel WHERE kind = 'text_len'
+WINDOW w5 AS (PARTITION BY conv_id ORDER BY turn_idx, ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
         "moving_stats": f"""{LONG_CTE}
 SELECT conv_id, turn_idx,

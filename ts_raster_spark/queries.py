@@ -685,6 +685,24 @@ def q_moving_stats(spark, sf_dir):
     return out
 
 
+def q_moving_quantiles(spark, sf_dir):
+    """Rolling exact quantiles over the trailing 5 turns (moving median
+    and p95) — holistic aggregates as frame-spec window functions, kept
+    JVM-side (percentile is a Catalyst window aggregate, no Python)."""
+    long_df = load_long(spark, sf_dir).where(F.col("kind") == "text_len")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx", "ts")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return long_df.select(
+        "conv_id",
+        "turn_idx",
+        r4(F.expr("percentile(value, 0.5)").over(w)).alias("rolling_median_5"),
+        r4(F.expr("percentile(value, 0.95)").over(w)).alias("rolling_q95_5"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """sampleBy analog: per-role hash-sampling fractions (user 20%,
     assistant 10%, rest 50%) — deterministic, engine-independent."""
