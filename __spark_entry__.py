@@ -460,9 +460,11 @@ ranked AS (
     FROM turns
 ),
 lat AS (
+    -- exact µs difference THEN /1e6, matching the kernel's integer
+    -- arithmetic (epoch()-then-subtract loses ~1e-7 s on 2024 epochs)
     SELECT conv_id,
-        epoch(max(CASE WHEN rnd = 1 THEN ts END))
-            - epoch(max(CASE WHEN rnd = 2 THEN ts END)) AS last_latency_s
+        (epoch_us(max(CASE WHEN rnd = 1 THEN ts END))
+            - epoch_us(max(CASE WHEN rnd = 2 THEN ts END))) / 1e6 AS last_latency_s
     FROM ranked WHERE rnd <= 2 GROUP BY conv_id
 )
 SELECT a.conv_id, a.n_turns, round(l.last_latency_s, 4) AS last_latency_s
