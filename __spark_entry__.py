@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": Q.q_token_stats,
         "quality_score": Q.q_quality_score,
         "fingerprint": Q.q_fingerprint,
+        "tfidf_top_terms": Q.q_tfidf_top_terms,
         # ML-prep tail (sample/split/scale/relevance/combine)
         "sample_turns": Q.q_sample_turns,
         "train_test_split": Q.q_train_test_split,
@@ -687,4 +688,5 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
         "token_stats": DD.token_stats_sql(),
         "quality_score": DD.quality_sql(),
         "fingerprint": DD.fingerprint_sql(),
+        "tfidf_top_terms": DD.tfidf_sql(3),
     }

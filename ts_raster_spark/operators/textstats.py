@@ -74,6 +74,40 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by tf·idf (idf = ln(N/df), raw tf) —
+    the classic corpus-statistics op a training-data pipeline uses for
+    keyword/topic probes.
+
+    Shape: tokens explode → (doc, term) counts → term document
+    frequencies (one aggregation, shuffled on term — high cardinality,
+    naturally balanced) → broadcast the tiny corpus size → window top-k
+    per doc with deterministic ties (score desc, term asc). No UDF.
+    Output: (doc_id, term, tf, score, rank).
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        docs.withColumn("tokens", F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"))
+        .select("doc_id", F.explode("tokens").alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", r4(F.col("score")).alias("score"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality in [0,1]: length band + stopword presence +
     mean word length band (classic cheap pretraining filters)."""

@@ -325,6 +325,12 @@ def q_quality_score(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    from ts_raster_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def q_fingerprint(spark, sf_dir):
     from ts_raster_spark.operators.textstats import fingerprint
 

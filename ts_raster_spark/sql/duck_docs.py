@@ -268,6 +268,26 @@ FROM c
 """
 
 
+def tfidf_sql(k: int = 3) -> str:
+    return f"""WITH {TOKS_CTE},
+tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+        tf.tf * ln(n.n_docs / dfreq.df) AS score
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, round(score, 4) AS score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def fingerprint_sql() -> str:
     return """
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint
