@@ -221,43 +221,60 @@ def autocorrelation_agg(lag: int = 1) -> dict[str, Column]:
     }
 
 
-def benford_agg() -> dict[str, Column]:
-    """tsfresh benford_correlation as a closed-form native aggregate:
-    Pearson r between the observed leading-digit distribution q (digits
-    1..9, zeros excluded from the denominator) and the constant Benford
-    vector p. Since Σq = 1 exactly, q̄ = 1/9 and
-        r = (Σ p_d q_d − 9 p̄ q̄) / (σ_p · sqrt(Σ q_d² − 9 q̄²)).
-    Needs no helper columns (9 conditional sums). Leading digit via
-    floor(|x| / 10^floor(log10|x|)) — agrees with the string-scientific
-    kernel oracle except on values within 1 ulp below a power of ten.
-    """
-    import math
+BDIGIT = "_bdigit"
 
+
+def attach_benford_digit(df: DataFrame) -> DataFrame:
+    """Project the leading decimal digit of |value| ONCE per row (column
+    ``_bdigit``; 0 for zero values). A plain projection — no window, no
+    shuffle. The digit is via floor(|x| / 10^floor(log10|x|)), which
+    agrees with tsfresh's string-scientific extraction except on values
+    within 1 ulp below a power of ten. Computing it here instead of
+    inside :func:`benford_agg` keeps the two transcendentals (log10,
+    pow) at 2 per row rather than 2 × 9 conditional aggregate branches —
+    the round-2 flagship-rollup regression."""
     absv = F.abs(F.col(V))
     digit = F.when(absv == 0, F.lit(0)).otherwise(
         F.floor(absv / F.pow(F.lit(10.0), F.floor(F.log10(absv)))).cast("int")
     )
+    return df.withColumn(BDIGIT, digit)
+
+
+def benford_agg() -> dict[str, Column]:
+    """tsfresh benford_correlation as a closed-form native aggregate:
+    Pearson r between the observed leading-digit distribution
+    q_d = count(digit == d) / n (tsfresh's ``(x == d).mean()`` over the
+    FULL series length — zeros count in the denominator but fill no
+    digit bucket) and the constant Benford vector p.
+
+    Pearson r is invariant to positive scaling of q, so the choice of
+    normalizer (full length n, nonzero count, or none) provably cannot
+    change the value — the feature-contract question raised in round-2
+    review is moot, and the closed form below uses the RAW counts c_d
+    (the n cancels):
+        r = (Σ p_d c_d − p̄ Σc) / (σ_p · sqrt(Σ c_d² − (Σc)²/9)).
+    Requires :func:`attach_benford_digit` (``_bdigit`` column).
+    """
+    import math
+
+    digit = F.col(BDIGIT)
     p = [math.log10(1 + 1 / d) for d in range(1, 10)]
     pbar = sum(p) / 9.0
     sp = math.sqrt(sum((v - pbar) ** 2 for v in p))
     counts = [F.sum((digit == d).cast("double")) for d in range(1, 10)]
     csum = counts[0]
-    for c in counts[1:]:
-        csum = csum + c
-    # null-safe denominators: ANSI mode evaluates division eagerly even
-    # under a when() guard, so a zero divisor must become NULL, not 0
-    csum_nz = F.when(csum > 0, csum)
-    obs = [c / csum_nz for c in counts]
-    spq = obs[0] * p[0]
-    sq2 = obs[0] * obs[0]
+    spq = counts[0] * p[0]
+    sq2 = counts[0] * counts[0]
     for d in range(1, 9):
-        spq = spq + obs[d] * p[d]
-        sq2 = sq2 + obs[d] * obs[d]
-    qbar = 1.0 / 9.0
-    var_q = sq2 - 9.0 * qbar * qbar
-    r = (spq - 9.0 * pbar * qbar) / F.when(var_q > 1e-30, F.lit(sp) * F.sqrt(var_q))
+        csum = csum + counts[d]
+        spq = spq + counts[d] * p[d]
+        sq2 = sq2 + counts[d] * counts[d]
+    ssq = sq2 - csum * csum / 9.0  # n²·Σ(q−q̄)², zero iff all digits equal
+    # null-safe denominator: ANSI mode evaluates division eagerly even
+    # under a when() guard, so a zero divisor must become NULL, not 0
+    r = (spq - pbar * csum) / F.when(ssq > 1e-20, F.lit(sp) * F.sqrt(ssq))
     return {
-        "benford_correlation": F.when((csum > 0) & (var_q > 1e-30), r)
+        "benford_correlation": F.when((csum > 0) & (ssq > 1e-20), r)
     }
 
 

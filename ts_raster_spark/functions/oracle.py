@@ -258,7 +258,11 @@ def permutation_entropy(x, tau: int = 1, dimension: int = 3):
 
 def benford_correlation(x):
     """tsfresh benford_correlation: Pearson r between the observed
-    leading-digit distribution and Benford's law."""
+    leading-digit distribution and Benford's law. Mirrors tsfresh's
+    full-length normalization ``(digits == d).mean()`` — zeros count in
+    the denominator but fill no digit bucket. (Pearson r is invariant
+    to positive scaling of the distribution, so this provably equals
+    the nonzero-count normalization; kept literal for auditability.)"""
     x = np.asarray(x, dtype=float)
     x = x[~np.isnan(x)]
     if len(x) == 0:
@@ -271,7 +275,7 @@ def benford_correlation(x):
     counts = np.array([(digits == d).sum() for d in range(1, 10)], dtype=float)
     if counts.sum() == 0:
         return np.nan
-    obs = counts / counts.sum()
+    obs = counts / len(digits)
     if np.std(obs) == 0:
         return np.nan
     return float(np.corrcoef(benford, obs)[0, 1])

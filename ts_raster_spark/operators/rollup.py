@@ -75,6 +75,10 @@ def rollup_features(
     )
     if needs_helpers:
         df = FT.attach_group_stats(df, keys)
+    if "benford_correlation" in aggs:
+        # cheap per-row projection (2 transcendentals/row, no shuffle)
+        # instead of re-deriving the digit in 9 aggregate branches
+        df = FT.attach_benford_digit(df)
 
     # Percentile fusion: median + the 4 quantiles each sort the group's
     # values; one percentile(value, array(...)) sorts ONCE and returns

@@ -60,8 +60,11 @@ stats AS (
 
 def _benford_sql() -> str:
     """Closed-form Benford Pearson r over the per-digit counts c_d
-    (digits 1..9 from the stats CTE's ``bdigit``): since Σq = 1 exactly,
-    r = (Σ p_d c_d / Σc − p̄) / (σ_p · sqrt(Σ c_d² / (Σc)² − 1/9))."""
+    (digits 1..9 from the stats CTE's ``bdigit``). Pearson r is
+    scale-invariant in q, so tsfresh's full-length normalization cancels
+    (functions/features.benford_agg docstring) and the twin mirrors the
+    same raw-count form:
+    r = (Σ p_d c_d − p̄ Σc) / (σ_p · sqrt(Σ c_d² − (Σc)²/9))."""
     import math
 
     p = [math.log10(1 + 1 / d) for d in range(1, 10)]
@@ -71,9 +74,9 @@ def _benford_sql() -> str:
     csum = "(" + " + ".join(counts) + ")"
     spq = "(" + " + ".join(f"{p[d - 1]!r} * {counts[d - 1]}" for d in range(1, 10)) + ")"
     sq2 = "(" + " + ".join(f"{c} * {c}" for c in counts) + ")"
-    var_q = f"({sq2} / ({csum} * {csum}) - 1.0 / 9.0)"
-    r = f"({spq} / {csum} - {pbar!r}) / ({sp!r} * sqrt({var_q}))"
-    return f"CASE WHEN {csum} > 0 AND {var_q} > 1e-30 THEN {r} END"
+    ssq = f"({sq2} - {csum} * {csum} / 9.0)"
+    r = f"({spq} - {pbar!r} * {csum}) / ({sp!r} * sqrt({ssq}))"
+    return f"CASE WHEN {csum} > 0 AND {ssq} > 1e-20 THEN {r} END"
 
 
 def _energy_ratio_sql(s: int = 10, f: int = 0) -> str:
