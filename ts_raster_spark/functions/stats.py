@@ -85,7 +85,9 @@ def benjamini_hochberg(p_values: dict[str, float], fdr_level: float = 0.05) -> d
     """BH step-up procedure (the tsfresh default FDR control,
     fdr_level=0.05). NaN p-values are never relevant."""
     valid = [(k, p) for k, p in p_values.items() if p == p]
-    valid.sort(key=lambda kv: kv[1])
+    # ties broken by key so the decision is engine-reproducible (the
+    # DuckDB twin orders BY p_value, feature)
+    valid.sort(key=lambda kv: (kv[1], kv[0]))
     m = len(valid)
     cutoff_rank = 0
     for i, (_, p) in enumerate(valid, start=1):

@@ -389,6 +389,29 @@ def q_feature_relevance(spark, sf_dir):
     return feature_relevance(xy, "y", ["n_turns", "mean_text_len", "tool_share", "max_text_len"])
 
 
+def q_feature_relevance_fdr(spark, sf_dir):
+    """checkRelevance FDR tail (calculate.py:366-423 → tsfresh
+    select_features): per-feature Pearson t-test p-values + the
+    Benjamini-Hochberg step-up decision at the tsfresh default 0.05.
+    Oracle: sql/duck_stats.py evaluates the same regularized incomplete
+    beta as a recursive-CTE power series — p-values agree to <4e-13."""
+    from ts_raster_spark.operators.ml_prep import feature_relevance_fdr
+
+    xy = _conv_features_xy(spark, sf_dir)
+    out = feature_relevance_fdr(
+        xy, "y", ["n_turns", "mean_text_len", "tool_share", "max_text_len"]
+    )
+    # NaN (constant feature) renders as SQL NULL on the oracle side
+    pr = F.when(~F.isnan("pearson_r"), F.col("pearson_r"))
+    pp = F.when(~F.isnan("p_value"), F.col("p_value"))
+    return out.select(
+        "feature",
+        r4(pr).alias("pearson_r"),
+        r4(pp).alias("p_value"),
+        F.col("relevant").cast("int").alias("relevant"),
+    )
+
+
 def q_combine_periods(spark, sf_dir):
     """combine_extracted_features analog (prep.py:553-611): horizontal
     join of per-period feature frames with period-suffixed columns."""
