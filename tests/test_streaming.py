@@ -64,6 +64,39 @@ def test_stateful_counter_totals(spark, turns_small, turns_dir):
         assert int(got[cid]) == int(n), cid
 
 
+def test_stateful_counter_unordered_multifile(spark, tmp_path):
+    """The de-funneled gate shape: a conversation's rows arrive as
+    several Arrow chunks in arbitrary order within ONE micro-batch
+    (multi-file availableNow input, no global sort anywhere). The
+    kernel's per-key sort must still produce the correct latency of the
+    final turn pair."""
+    import datetime as dt
+
+    rows = [
+        ("conv-x", i, "user", f"t{i}", None,
+         dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=7 * i))
+        for i in range(30)
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    d = str(tmp_path / "unordered_in")
+    # hash-repartition on turn_idx: rows of conv-x scatter over 5 files
+    # in non-turn order — the adversarial layout for per-key ordering
+    turns.repartition(5, "turn_idx").write.mode("overwrite").parquet(d)
+    sdf = stateful_turn_counter(stream_turns(spark, d))
+    run_to_memory(sdf, "counter_unordered_t", output_mode="update")
+    got = (
+        spark.table("counter_unordered_t")
+        .orderBy(F.col("n_turns").desc())
+        .limit(1)
+        .toPandas()
+        .iloc[0]
+    )
+    assert int(got["n_turns"]) == 30
+    assert got["last_latency_s"] == 7.0
+
+
 def test_stream_append_mode_respects_watermark(spark, turns_dir):
     """Append mode + finite input: buckets not passed by the watermark
     stay pending (the late-data contract) — the emitted set must be a

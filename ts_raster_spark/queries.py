@@ -493,8 +493,10 @@ def q_stream_stateful_counts(spark, sf_dir):
     """applyInPandasWithState exposed to the batch gate: per-conversation
     running state (cumulative turn count + latency of the most recent
     turn) drained with an availableNow trigger. The input is written as
-    ONE sorted file so the finite stream is a single ordered micro-batch
-    (production relies on watermarked ordering instead); the oracle is
+    MULTIPLE range-partitioned files (each conversation whole within one
+    file — the scale-safe shape: no global sort, no single-task funnel);
+    the stateful kernel itself sorts each key's rows within the
+    micro-batch, which is all the per-key order it needs. The oracle is
     the batch SQL for the same final state."""
     import hashlib
     import os as _os
@@ -512,8 +514,8 @@ def q_stream_stateful_counts(spark, sf_dir):
     path = _os.path.join(root, f"tsrs_state_in_{tag}")
     (
         turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
-        .orderBy("conv_id", "turn_idx")
-        .coalesce(1)
+        .repartitionByRange(8, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
         .write.mode("overwrite")
         .parquet(path)
     )

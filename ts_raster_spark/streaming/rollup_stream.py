@@ -74,14 +74,22 @@ def _counter_fn(
     (conv_id,) = key
     n, last_us = state.get if state.exists else (0, None)
     latest_latency = None
-    for pdf in batches:
-        pdf = pdf.sort_values(["turn_idx", "ts"])
-        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
-        for t in ts_us:
-            if last_us is not None:
-                latest_latency = (int(t) - int(last_us)) / 1e6
-            last_us = int(t)
-            n += 1
+    # A key's rows can arrive as several Arrow chunks in ARBITRARY order
+    # within one micro-batch: concat + one sort per (key, micro-batch)
+    # establishes turn order locally, so the caller never needs a global
+    # input sort (only cross-MICRO-BATCH order is the source's contract,
+    # e.g. watermarked ingestion or per-conversation files).
+    pdfs = list(batches)
+    if pdfs:
+        pdf = pd.concat(pdfs, ignore_index=True).sort_values(["turn_idx", "ts"])
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        if len(ts_us):
+            if len(ts_us) >= 2:
+                latest_latency = (int(ts_us[-1]) - int(ts_us[-2])) / 1e6
+            elif last_us is not None:
+                latest_latency = (int(ts_us[-1]) - int(last_us)) / 1e6
+            n += len(ts_us)
+            last_us = int(ts_us[-1])
     state.update((n, int(last_us) if last_us is not None else None))
     yield pd.DataFrame(
         {"conv_id": [conv_id], "n_turns": [n], "last_latency_s": [latest_latency]}
