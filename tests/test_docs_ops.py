@@ -184,3 +184,80 @@ def test_connected_components_chain_and_singletons(spark):
     got2 = connected_components(edges)
     assert got2.count() == 7
     assert got2.where(F.col("node") == 99).count() == 0
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min node id of the component
+    comp = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp.setdefault(r, v)  # nodes visited ascending → first is min
+    return {v: comp[find(v)] for v in range(n_nodes)}
+
+
+def test_components_star_deep_path_graph(spark):
+    """large-star/small-star must converge in O(log n) rounds on a
+    path graph whose diameter (200) is far beyond the min-label
+    default max_iter=25 — the case where min-label must REFUSE."""
+    import pytest as _pt
+
+    from ts_raster_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 201
+    path_edges = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(path_edges, "doc_a long, doc_b long")
+
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=25)
+
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges, max_rounds=15).collect()
+    }
+    want = _union_find(n, path_edges)
+    assert got == want  # everything collapses to component 0
+
+
+def test_components_star_matches_min_label_random(spark):
+    """On shallow random graphs both algorithms agree with union-find
+    (and with each other), including isolated singletons."""
+    import random
+
+    from ts_raster_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    n = 120
+    edge_list = sorted({
+        tuple(sorted(rng.sample(range(n), 2))) for _ in range(90)
+    })
+    edges = spark.createDataFrame(edge_list, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    want = _union_find(n, edge_list)
+    got_star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges, all_nodes=nodes).collect()
+    }
+    got_min = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, all_nodes=nodes).collect()
+    }
+    assert got_star == want
+    assert got_min == want

@@ -145,9 +145,10 @@ def connected_components(
     and stops when no label changed. Rounds needed = graph diameter
     (near-dup clusters are shallow — a handful); every round is one
     shuffle on the node key and the plan is cut per round with
-    ``localCheckpoint`` so lineage cannot grow exponentially. For
-    web-graph diameters, swap in the large-star/small-star variant —
-    the round structure here is the same.
+    ``localCheckpoint`` so lineage cannot grow exponentially. Raises if
+    the diameter exceeds ``max_iter`` — non-converged labelings must
+    never be consumed as correct. For web-graph diameters use
+    :func:`connected_components_star` (O(log n) rounds).
 
     ``all_nodes`` (one ``node`` column) adds isolated nodes as their own
     singleton components. Output: (node, component).
@@ -159,6 +160,7 @@ def connected_components(
     if all_nodes is not None:
         nodes = nodes.unionByName(all_nodes.select("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nb_min = (
             und.join(labels, und["v"] == labels["node"])
@@ -166,24 +168,118 @@ def connected_components(
             .agg(F.min("comp").alias("_nb_comp"))
             .withColumnRenamed("u", "node")
         )
+        # the convergence flag rides the checkpointed frame, so the probe
+        # below is a limit-1 scan of already-materialized partitions —
+        # not a second labels-vs-labels join job per round
         new_labels = (
             labels.join(nb_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("_nb_comp", F.col("comp"))).alias("comp"),
+                F.coalesce(F.col("_nb_comp") < F.col("comp"), F.lit(False)).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        converged = new_labels.where("_chg").isEmpty()
+        labels = new_labels.drop("_chg")
+        if converged:
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} min-label "
+            f"rounds (component diameter exceeds max_iter); use "
+            f"connected_components_star for high-diameter graphs"
+        )
     return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Kiveris et al. large-star round: for each node u, connect every
+    strictly-larger neighbor to min(Γ(u) ∪ {u}). Input/output: directed
+    edge list (u, v); output edges always point child → smaller parent."""
+    both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = both.groupBy("u").agg(F.min("v").alias("_mn"))
+    return (
+        both.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.least(F.col("_mn"), F.col("u")).alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Kiveris et al. small-star round over child→parent edges
+    (u > v invariant from large-star): for each u, connect u and all its
+    parents to the minimum parent."""
+    mins = e.groupBy("u").agg(F.min("v").alias("_m"))
+    via_parents = (
+        e.join(mins, "u")
+        .where(F.col("v") != F.col("_m"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+    )
+    self_edge = mins.select(F.col("u"), F.col("_m").alias("v"))
+    return via_parents.unionByName(self_edge).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    all_nodes: DataFrame | None = None,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond" — the public web-graph algorithm). Converges in O(log n)
+    rounds regardless of component diameter, unlike min-label
+    propagation whose round count IS the diameter — this is the variant
+    for deep graphs (chains of pairwise near-dups, web link graphs).
+
+    Convergence = the edge multiset is stable across a full
+    (large, small) pair, detected with one count+hash aggregate per
+    round. At the fixpoint edges form stars child → component-min;
+    isolated ``all_nodes`` become singleton components. Output:
+    (node, component) — identical to :func:`connected_components`.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    converged = False
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig_row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    # at the fixpoint every child points directly at its component min;
+    # roots and isolated nodes label themselves
+    membership = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    nodes = membership.select("node").unionByName(
+        e.select(F.col("v").alias("node"))
+    )
+    if all_nodes is not None:
+        nodes = nodes.unionByName(all_nodes.select("node"))
+    nodes = nodes.distinct()
+    return (
+        nodes.join(membership, "node", "left")
+        .select("node", F.coalesce("comp", F.col("node")).alias("component"))
+    )
 
 
 def simhash16(docs: DataFrame) -> DataFrame:
