@@ -307,15 +307,53 @@ xy AS (
     )
 
 
+def _closes_round_call(sql: str, close_idx: int) -> bool:
+    """True iff the ``)`` at ``close_idx`` closes a ``round(`` call —
+    walk back to the matching ``(`` and read the identifier before it."""
+    depth = 0
+    i = close_idx
+    while i >= 0:
+        c = sql[i]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            depth -= 1
+            if depth == 0:
+                j = i - 1
+                while j >= 0 and (sql[j].isalnum() or sql[j] == "_"):
+                    j -= 1
+                return sql[j + 1 : i].lower() == "round"
+        i -= 1
+    return False
+
+
 def _nudge_rounds(sql: str) -> str:
     """Apply the +1e-9 rounding nudge and the signed-zero normalizer
     (functions/norm.py contract) to every plain round(x, 4) in an oracle
-    query; sql_r4-generated sites already carry both. Every ``, 4)`` in
-    these queries closes a round() in a SELECT list, so appending
-    ``+ 0.0`` after the paren is well-formed."""
+    query; sql_r4-generated sites already carry both. Each candidate
+    ``, 4)`` site is VERIFIED to close a round() call (balanced-paren
+    backward scan) — a ``, 4)`` that is anything else (substr bound,
+    4th function argument, …) raises instead of silently corrupting the
+    oracle."""
     import re
 
-    return re.sub(r"(?<!1e-9), 4\)", " + 1e-9, 4) + 0.0", sql)
+    out: list[str] = []
+    last = 0
+    for m in re.finditer(r", 4\)", sql):
+        s, e = m.span()
+        if sql[max(0, s - 4) : s] == "1e-9":
+            continue  # sql_r4-generated site, already nudged
+        if not _closes_round_call(sql, e - 1):
+            snippet = sql[max(0, s - 40) : e + 10].replace("\n", " ")
+            raise ValueError(
+                f"_nudge_rounds: ', 4)' at offset {s} does not close a "
+                f"round() call — refusing to rewrite: …{snippet}…"
+            )
+        out.append(sql[last:s])
+        out.append(" + 1e-9, 4) + 0.0")
+        last = e
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def oracle_sql() -> dict[str, str]:

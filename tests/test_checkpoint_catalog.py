@@ -150,3 +150,24 @@ def test_read_result_ignores_stale_slices(spark, turns_small, tmp_path):
     run_checkpointed(spark, turns_small, _transform, out, n_slices=4)
     got = read_result(spark, out).count()
     assert got == ref  # stale slice=4..7 dirs exist on disk but are not read
+
+
+def test_slice_domain_mismatch_raises(spark, turns_small, tmp_path):
+    """A slice_col whose value domain exceeds range(n_slices) (layout
+    narrower than the catalog's buckets, or NULL slice values) must
+    refuse up front — silently skipping those rows would let read_result
+    return a partial dataset with no error."""
+    out = str(tmp_path / "ckpt_domain")
+    src = turns_small.withColumn(
+        "bucket_id", F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int")
+    )
+    with pytest.raises(ValueError, match="outside the n_slices=4 layout"):
+        run_checkpointed(spark, src, _transform, out, n_slices=4, slice_col="bucket_id")
+
+    # NULL slice values refuse too
+    src_null = turns_small.withColumn(
+        "bucket_id",
+        F.when(F.col("turn_idx") == 0, F.lit(None).cast("int")).otherwise(F.lit(0)),
+    )
+    with pytest.raises(ValueError, match="outside the n_slices=2 layout"):
+        run_checkpointed(spark, src_null, _transform, out, n_slices=2, slice_col="bucket_id")

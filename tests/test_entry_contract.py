@@ -1,0 +1,73 @@
+"""Driver-contract invariants of __spark_entry__ that nothing else
+enforces: the 50-entry correctness window composition and the oracle
+round-rewrite safety check."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+# the driver's correctness artifact records only the first 50 queries()
+# entries — every distinct operator surface must sit inside that window
+WINDOW = 50
+
+# tail entries are allowed ONLY because an in-window query attests the
+# same operator (see queries() docstring) AND they were driver-green in
+# earlier rounds
+ALLOWED_TAIL = {
+    "moving_stats",
+    "sample_turns",
+    "unmask_conv_counts",
+    "rollup_minute_core",
+    "cascade_day_from_minute",
+    "dedup_embedding_cosine",
+}
+
+# operators that were unattested in round 2 precisely because they sat
+# past the window — they must never fall out again
+MUST_BE_IN_WINDOW = {
+    "kernel_features_cwt",
+    "compress_roundtrip",
+    "time_weighted_avg",
+    "stratified_sample",
+    "moving_quantiles",
+    "feature_relevance_fdr",
+}
+
+
+def test_window_composition():
+    names = list(E.queries())
+    window, tail = set(names[:WINDOW]), set(names[WINDOW:])
+    assert MUST_BE_IN_WINDOW <= window, MUST_BE_IN_WINDOW - window
+    assert tail <= ALLOWED_TAIL, tail - ALLOWED_TAIL
+
+
+def test_every_query_has_oracle_or_documented_exception():
+    qs = set(E.queries())
+    oracles = set(E.oracle_sql())
+    # rows-only by nature: k-means (ann_ivf) and binary compression
+    # blocks (compress_roundtrip) have no SQL analog
+    assert qs - oracles == {"ann_ivf", "compress_roundtrip"}
+    assert oracles <= qs
+
+
+def test_nudge_rounds_rewrites_only_round_closes():
+    assert (
+        E._nudge_rounds("SELECT round(x, 4) AS v")
+        == "SELECT round(x + 1e-9, 4) + 0.0 AS v"
+    )
+    # sql_r4 sites are already nudged and must pass through untouched
+    already = "round(x + 1e-9, 4) + 0.0"
+    assert E._nudge_rounds(already) == already
+    # nested parens inside the round argument
+    assert E._nudge_rounds("round(avg(f(a, b)), 4)") == "round(avg(f(a, b)) + 1e-9, 4) + 0.0"
+    # a ', 4)' that closes anything else must raise, never rewrite
+    for bad in ("substr(x, 1, 4)", "power(x, 4)", "f(a, b, 4)"):
+        with pytest.raises(ValueError, match="does not close a round"):
+            E._nudge_rounds(f"SELECT {bad} FROM t")
+
+
+def test_all_oracles_build():
+    sqls = E.oracle_sql()
+    assert all(isinstance(v, str) and v.strip() for v in sqls.values())

@@ -37,6 +37,39 @@ def test_rf_classifier_learns(spark, xy):
     assert metrics["kappa"] > 0.8, metrics
 
 
+def test_model_predict_prob(spark, xy):
+    """model.py:172-180 parity surface: per-class probabilities keyed by
+    conv_id, rows sum to 1, argmax agrees with the point prediction, and
+    values equal model.transform's probability vector."""
+    import numpy as np
+    from pyspark.ml.functions import vector_to_array
+
+    from ts_raster_spark.operators.ml_models import model_predict_prob, rf_classifier
+
+    cols = ["n_turns", "mean_text_len", "tool_share"]
+    model, _, _ = rf_classifier(xy, cols)
+    out = model_predict_prob(model, xy, cols, keep=["conv_id"]).toPandas()
+    assert list(out.columns) == ["conv_id", "prediction"] + [
+        f"prob_{i}" for i in range(model.numClasses)
+    ]
+    assert len(out) == xy.count()
+    probs = out[[f"prob_{i}" for i in range(model.numClasses)]].to_numpy()
+    assert np.allclose(probs.sum(axis=1), 1.0, atol=1e-9)
+    assert (probs.argmax(axis=1) == out["prediction"].to_numpy()).all()
+
+    from ts_raster_spark.operators.ml_models import _assemble
+
+    ref = (
+        model.transform(_assemble(xy, cols))
+        .select("conv_id", vector_to_array("probability").alias("p"))
+        .toPandas()
+        .set_index("conv_id")["p"]
+    )
+    got = out.set_index("conv_id")
+    for cid, p in ref.items():
+        assert np.allclose(got.loc[cid, [f"prob_{i}" for i in range(len(p))]].to_numpy(), p)
+
+
 def test_model_predict_keeps_key(spark, xy):
     from ts_raster_spark.operators.ml_models import model_predict, rf_regressor
 

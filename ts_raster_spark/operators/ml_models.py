@@ -78,3 +78,19 @@ def rf_classifier(xy: DataFrame, feature_cols: list[str], target: str = "y_class
 def model_predict(model, df: DataFrame, feature_cols: list[str], keep: list[str]) -> DataFrame:
     """model_predict analog (model.py:161-170): predictions keyed."""
     return model.transform(_assemble(df, feature_cols)).select(*keep, "prediction")
+
+
+def model_predict_prob(model, df: DataFrame, feature_cols: list[str], keep: list[str]) -> DataFrame:
+    """model_predict_prob analog (model.py:172-180): per-class
+    probability predictions keyed. The reference returns
+    ``predict_proba``'s class-probability matrix; pyspark.ml's RF
+    classifier carries the same vector in ``probability`` —
+    vector_to_array unpacks it into ``prob_<class>`` columns."""
+    from pyspark.ml.functions import vector_to_array
+
+    pred = model.transform(_assemble(df, feature_cols))
+    probs = vector_to_array("probability")
+    cols = [F.col(c) for c in keep] + [F.col("prediction")] + [
+        probs[i].alias(f"prob_{i}") for i in range(model.numClasses)
+    ]
+    return pred.select(*cols)

@@ -60,7 +60,10 @@ def slice_lineage(
         .collect()
     )
     return {
-        int(r["_slice"]): {"rows_in": r["n"], "fingerprint": f"n={r['n']},h={r['h']}"}
+        (int(r["_slice"]) if r["_slice"] is not None else None): {
+            "rows_in": r["n"],
+            "fingerprint": f"n={r['n']},h={r['h']}",
+        }
         for r in rows
     }
 
@@ -112,6 +115,20 @@ def run_checkpointed(
     manifest_path = os.path.join(out_dir, MANIFEST)
     done = load_manifest(out_dir, n_slices)
     lineage = slice_lineage(turns, n_slices, slice_col)
+    # slice_lineage already saw the FULL value domain — any slice value
+    # outside range(n_slices) (slice_col wider than the layout, or NULL)
+    # would otherwise silently never be processed and read_result would
+    # return a partial dataset with no error
+    bad = sorted(
+        (s for s in lineage if s is None or not 0 <= s < n_slices),
+        key=lambda s: (s is None, s),
+    )
+    if bad:
+        raise ValueError(
+            f"slice values {bad} fall outside the n_slices={n_slices} layout"
+            + (f" (slice_col={slice_col!r})" if slice_col else "")
+            + "; pass n_slices matching the column's value domain"
+        )
     completed, skipped, rows_out = 0, 0, 0
     fresh = 0
     for s in range(n_slices):
