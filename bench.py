@@ -163,6 +163,8 @@ def run(cpus: int, sf_dir: str, n_synth: int, skip_synth: bool = False, reps: in
     # latest tools/bench_scaling.py artifacts if present. These are
     # measured on this box by separate taskset-pinned JVM pairs (see
     # BENCH/BASELINE.md); re-generate with tools/bench_scaling.py.
+    # Each artifact self-describes its provenance (generated_at_utc +
+    # commit) so stale evidence is identifiable in the bench output.
     scaling = {}
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     if os.path.isdir(bench_dir):

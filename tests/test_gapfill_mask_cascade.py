@@ -90,3 +90,59 @@ def test_cascade_day_mean_variance(spark, turns_small):
         sub = raw[(raw.conv_id == row.conv_id) & (raw.bucket_start == row.bucket_start)]["value"]
         assert row["mean"] == pytest.approx(sub.mean(), rel=1e-9)
         assert row["variance"] == pytest.approx(np.var(sub), rel=1e-6, abs=1e-9)
+
+
+def test_tier_algebra_classification_is_exhaustive():
+    """Every column the flagship rollup can emit (39 aggregate features
+    + strike/trend/entropy extras + the kernel CWT peaks) must be
+    classified as either cascaded-exact (sufficient statistics) or
+    recompute-from-finest — a new calculator cannot land unclassified."""
+    from ts_raster_spark.functions.features import default_feature_aggs
+    from ts_raster_spark.operators.cascade import (
+        ALGEBRAIC_FROM_SUFFICIENT_STATS,
+        RECOMPUTE_FROM_FINEST,
+    )
+
+    emitted = set(default_feature_aggs()) | {
+        "longest_strike_above_mean", "longest_strike_below_mean",
+        "agg_linear_trend_slope_max_chunk3", "binned_entropy_10",
+        "number_cwt_peaks_n6", "number_cwt_peaks_n12",
+    }
+    classified = ALGEBRAIC_FROM_SUFFICIENT_STATS | RECOMPUTE_FROM_FINEST
+    assert emitted <= classified, emitted - classified
+    assert not (ALGEBRAIC_FROM_SUFFICIENT_STATS & RECOMPUTE_FROM_FINEST)
+
+
+def test_algebraic_features_derive_exactly_from_cascade(spark, turns_small):
+    """Proof-by-construction for the ALGEBRAIC set: hour-tier features
+    derived from the minute-tier sufficient statistics equal the same
+    features computed directly from raw."""
+    import numpy as np
+
+    from ts_raster_spark.operators.cascade import (
+        ALGEBRAIC_FROM_SUFFICIENT_STATS,
+        cascade_up,
+        derive_algebraic_features,
+    )
+    from ts_raster_spark.operators.longform import to_long_panel
+    from ts_raster_spark.operators.rollup import rollup_features, rollup_simple
+
+    long_df = to_long_panel(turns_small).where(F.col("kind") == "text_len")
+    keys = ["conv_id", "kind", "bucket_start"]
+    cols = sorted(ALGEBRAIC_FROM_SUFFICIENT_STATS)
+
+    derived = (
+        derive_algebraic_features(cascade_up(rollup_simple(long_df, "minute"), "hour"))
+        .toPandas().set_index(keys).sort_index()[cols]
+    )
+    direct = (
+        rollup_features(long_df, tier="hour", feature_names=cols)
+        .toPandas().set_index(keys).sort_index()[cols]
+    )
+    assert len(derived) == len(direct) > 0
+    for c in cols:
+        a = derived[c].to_numpy(dtype=float)
+        b = direct[c].to_numpy(dtype=float)
+        # variation_coefficient is NULL on zero mean in both paths
+        mask = ~(np.isnan(a) & np.isnan(b))
+        assert np.allclose(a[mask], b[mask], rtol=1e-9, atol=1e-9), c

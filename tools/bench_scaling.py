@@ -223,10 +223,18 @@ def main():
     with open(path, "w") as f:
         f.write("\n".join(md))
     summary = {q: {"eff_abs": round(e, 3), "eff_vs_ceiling": round(er, 3)} for q, _, _, _, e, er in rows}
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True, cwd=REPO
+    ).stdout.strip()
     artifact = {
         "n_low": N_LOW,
         "n_high": N_HIGH,
         "input_turns": n_turns,
+        # provenance: these numbers belong to THIS code version / box
+        # state; bench.py embeds the artifact verbatim so a stale file
+        # is identifiable instead of reading as current
+        "generated_at_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "commit": commit or None,
         "seconds_low": {q: lo[q] for q in ("e2e_tiers", "agg_minute", "rollup_hour_full")},
         "seconds_high": {q: hi[q] for q in ("e2e_tiers", "agg_minute", "rollup_hour_full")},
         "python_ceiling_eff": round(py_ceiling, 3),
