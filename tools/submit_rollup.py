@@ -18,10 +18,16 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from ts_raster_spark.jobs import RollupJobConfig, run_rollup_job  # noqa: E402
-from ts_raster_spark.session import get_spark  # noqa: E402
+# Under spark-submit --py-files the package comes from the shipped zip;
+# the repo-root fallback only serves bare `python tools/submit_rollup.py`
+# runs from a checkout.
+try:
+    from ts_raster_spark.jobs import RollupJobConfig, run_rollup_job
+    from ts_raster_spark.session import get_spark
+except ImportError:  # bare-checkout run
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from ts_raster_spark.jobs import RollupJobConfig, run_rollup_job  # noqa: E402
+    from ts_raster_spark.session import get_spark  # noqa: E402
 
 
 def main():
