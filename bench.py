@@ -46,10 +46,15 @@ from ts_raster_spark.sources.turns import derive_turns_from_events  # noqa: E402
 BENCH_TMP = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_tmp")
 
 
-def _force(df) -> int:
-    """Force full execution; count survives whole-stage codegen without
-    collecting rows to the driver."""
-    return df.count()
+def _force(df) -> None:
+    """Force FULL execution including every output column: a noop-format
+    write materializes all columns with no driver collect and no disk
+    bytes. NOT .count() — Catalyst prunes unreferenced aggregate/window
+    expressions under count(1), so a count-forced feature rollup times
+    only the scan + shuffle + grouping and skips the 39 aggregate
+    columns entirely (verified on the optimized plan; rounds 1-2 used
+    count() and under-measured — see BENCH/BASELINE.md)."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def pipeline_tiers_to_storage(spark, turns, out_root):
@@ -81,7 +86,13 @@ def run(cpus: int, sf_dir: str, n_synth: int, skip_synth: bool = False, reps: in
     )
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
-    meta: dict[str, float] = {}
+    meta: dict = {}
+    meta["force_mode"] = (
+        "noop-write since r3 (materializes every output column); r1/r2 "
+        "forced with count(), which let Catalyst prune all aggregate/fill "
+        "columns — rollup/gapfill numbers are NOT comparable across that "
+        "boundary (see BENCH/BASELINE.md)"
+    )
 
     def timed(name, fn):
         """min-of-reps wall time; os.sync() first so a previous section's
