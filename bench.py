@@ -137,6 +137,37 @@ def run(cpus: int, sf_dir: str, n_synth: int, skip_synth: bool = False, reps: in
 
     timed("gapfill_locf_hour_sf", _gap)
 
+    # --- training-data pipeline ops over the documents/embeddings tables ---
+    # (no reference baseline exists for these; tracked so a scale
+    # regression in the dedup/ANN suite is visible round-over-round)
+    docs_path = f"{sf_dir}/documents.parquet"
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    if os.path.exists(docs_path):
+        from ts_raster_spark.operators.dedup import (
+            connected_components_star,
+            minhash_lsh_pairs,
+        )
+        from ts_raster_spark.operators.similarity import signlsh_topk
+        from ts_raster_spark.operators.textstats import token_stats
+
+        docs = spark.read.parquet(docs_path)
+        meta["docs"] = docs.count()
+        _force(minhash_lsh_pairs(docs.sample(0.2, seed=1), k=8, band_size=2))  # warmup
+        timed("dedup_minhash_lsh_sf", lambda: _force(minhash_lsh_pairs(docs, k=8, band_size=2)))
+        timed(
+            "dedup_components_star_sf",
+            lambda: _force(
+                connected_components_star(
+                    minhash_lsh_pairs(docs, k=8, band_size=2),
+                    all_nodes=docs.select(F.col("doc_id").alias("node")),
+                )
+            ),
+        )
+        timed("token_stats_sf", lambda: _force(token_stats(docs)))
+        if os.path.exists(emb_path):
+            emb = spark.read.parquet(emb_path)
+            timed("ann_signlsh_sf", lambda: _force(signlsh_topk(emb, list(range(20)), k=3)))
+
     # --- input 2: synthetic turns at scale (mega-conv skew included) ------
     if not skip_synth:
         synth_path = os.path.join(BENCH_TMP, f"turns_{n_synth}.parquet")

@@ -186,6 +186,29 @@ def test_connected_components_chain_and_singletons(spark):
     assert got2.where(F.col("node") == 99).count() == 0
 
 
+def test_dedup_keep_canonical(spark):
+    """End-to-end keep-one dedup: near-dup clusters keep exactly the
+    min doc_id; untouched docs survive as singletons; n_dups accounts
+    for every input row."""
+    docs = spark.createDataFrame(
+        [
+            ("doc-a", "the quick brown fox jumps over the lazy dog again and again"),
+            ("doc-b", "the quick brown fox jumps over the lazy dog again and again"),
+            ("doc-c", "the quick brown fox jumps over the lazy dog again and again today"),
+            ("doc-d", "completely different text about spark dataframe aggregation pipelines"),
+        ],
+        "doc_id string, text string",
+    )
+    from ts_raster_spark.operators.dedup import dedup_keep_canonical
+
+    for deep in (False, True):
+        out = dedup_keep_canonical(docs, deep=deep).toPandas().set_index("doc_id")
+        assert "doc-a" in out.index and "doc-d" in out.index
+        assert "doc-b" not in out.index  # exact near-dup collapsed
+        assert int(out["n_dups"].sum()) == 4
+        assert int(out.loc["doc-d", "n_dups"]) == 1
+
+
 def _union_find(n_nodes, edges):
     parent = list(range(n_nodes))
 
@@ -261,3 +284,21 @@ def test_components_star_matches_min_label_random(spark):
     }
     assert got_star == want
     assert got_min == want
+
+
+def test_video_decode_env_gate(monkeypatch):
+    """Video decode is env-gated: with no ffmpeg the strict path raises
+    the documented NotImplementedError; $TSRS_FFMPEG overrides the PATH
+    probe so a production image needs no code change."""
+    from ts_raster_spark.operators import multimodal as MM
+
+    monkeypatch.setenv("TSRS_FFMPEG", "/opt/custom/ffmpeg")
+    assert MM._ffmpeg_path() == "/opt/custom/ffmpeg"
+    monkeypatch.delenv("TSRS_FFMPEG")
+
+    if MM._ffmpeg_path() is None:
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            MM._decode(b"\x00" * 64, "video/mp4", 8, 8, strict=True)
+    # non-strict always yields the deterministic fake frame
+    px = MM._decode(b"\x00" * 64, "video/mp4", 8, 8, strict=False)
+    assert px.shape == (8, 8)

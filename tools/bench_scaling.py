@@ -109,7 +109,8 @@ print("CHILD_RESULT " + json.dumps(res))
 def run_child(cpus: int) -> dict:
     code = CHILD.format(repo=REPO, cpus=cpus, input=INPUT, longp=LONGP)
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800, cwd=REPO)
+    # local[1] over 8M turns legitimately needs ~25 min (warmup + reps)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, cwd=REPO)
     for line in out.stdout.splitlines():
         if line.startswith("CHILD_RESULT"):
             return json.loads(line.split(" ", 1)[1])

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import os
 import struct
 import wave
 
@@ -121,18 +122,49 @@ def gen_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _ffmpeg_path() -> str | None:
+    """Env-gated ffmpeg probe: honour $TSRS_FFMPEG, else PATH lookup.
+    This container ships neither, so the probe returns None here — but a
+    production image with ffmpeg gets real video decode with no code
+    change."""
+    import shutil
+
+    return os.environ.get("TSRS_FFMPEG") or shutil.which("ffmpeg")
+
+
+def _decode_video_ffmpeg(payload: bytes, ffmpeg: str) -> np.ndarray:
+    """First-frame grayscale decode through ffmpeg (rawvideo pipe)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [ffmpeg, "-i", "pipe:0", "-frames:v", "1", "-f", "rawvideo",
+         "-pix_fmt", "gray", "pipe:1"],
+        input=payload, capture_output=True, timeout=60,
+    )
+    if proc.returncode != 0 or not proc.stdout:
+        raise ValueError(f"ffmpeg decode failed: {proc.stderr[-500:]!r}")
+    raw = np.frombuffer(proc.stdout, dtype=np.uint8)
+    side = int(len(raw) ** 0.5)
+    return raw[: side * side].reshape(side, side).astype(np.float64)
+
+
 def _decode(payload: bytes, mime: str, width, height, strict: bool) -> np.ndarray:
-    """Dispatch to the real codec by mime; video falls to the stub."""
+    """Dispatch to the real codec by mime; video decodes through ffmpeg
+    when present (env-gated probe), else the deterministic stub."""
     if mime == "image/bmp":
         return decode_bmp(payload)
     if mime == "audio/wav":
         samples, _ = decode_wav(payload)
         # waveform as a (1, n) intensity row: |amplitude| scaled to 0..255
         return (np.abs(samples.astype(np.float64)) / 32768.0 * 255.0).reshape(1, -1)
+    if mime.startswith("video/"):
+        ffmpeg = _ffmpeg_path()
+        if ffmpeg:
+            return _decode_video_ffmpeg(payload, ffmpeg)
     if strict:
         raise NotImplementedError(
-            f"no dependency-free codec for {mime!r} (video needs ffmpeg); "
-            "swap _decode for a real decoder in production"
+            f"no dependency-free codec for {mime!r} (video needs ffmpeg — "
+            "install it or point $TSRS_FFMPEG at a binary)"
         )
     # deterministic fake for the stubbed kinds
     w = int(width) if width is not None and width == width else 8
