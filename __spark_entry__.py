@@ -133,7 +133,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_minute_core": Q.q_rollup_minute_core,
         "cascade_day_from_minute": Q.q_cascade_day_from_minute,
         "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
+        # ---- round-3 additions (beyond the 50-row driver window; every
+        # one carries a full value oracle and is attested by the local
+        # gate tools/check_correctness.py + pytest) ----
+        "dedup_keep_canonical": Q.q_dedup_keep_canonical,
+        "repetition_stats": Q.q_repetition_stats,
+        "duplicate_lines": Q.q_duplicate_lines,
+        "decontaminate": Q.q_decontaminate,
+        "embedding_quantize": Q.q_embedding_quantize,
+        "hll_users_hour": Q.q_hll_users_hour,
     }
+
+
+def _hll_users_hour_sql() -> str:
+    """Twin of queries.q_hll_users_hour. The register math is the SAME
+    SQL text Spark executes (functions/hllsql.py); direct and
+    minute-merged estimates are algebraically equal, so the oracle
+    computes the expression once and emits it under both names."""
+    from ts_raster_spark.functions import hllsql as H
+
+    est = H.estimate_expr("n_present", "sum_inv")
+    return f"""{TURNS_CTE},
+hashed AS (
+    SELECT date_trunc('hour', ts) AS bucket_start, conv_id,
+        {H.md5_expr("conv_id")} AS h
+    FROM turns
+),
+hv AS (SELECT bucket_start, {H.hash32_expr("h")} AS h32 FROM hashed),
+regs AS (
+    SELECT bucket_start, {H.bucket_expr("h32")} AS bucket,
+        max({H.rho_expr(H.w_expr("h32"))}) AS register
+    FROM hv GROUP BY 1, 2
+),
+agg AS (
+    SELECT bucket_start, count(*) AS n_present,
+        sum(power(0.5, register)) AS sum_inv
+    FROM regs GROUP BY 1
+),
+ex AS (
+    SELECT date_trunc('hour', ts) AS bucket_start,
+        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_exact
+    FROM turns GROUP BY 1
+)
+SELECT strftime(ex.bucket_start, '{TS_FMT}') AS bucket_start, ex.n_exact,
+    round({est}, 4) AS hll_estimate,
+    round({est}, 4) AS hll_from_fine
+FROM ex JOIN agg USING (bucket_start)
+"""
 
 
 def _tier_rollup_sql(tier: str, kinds: list[str], features: list[str]) -> str:
@@ -761,4 +807,19 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
         "quality_score": DD.quality_sql(),
         "fingerprint": DD.fingerprint_sql(),
         "tfidf_top_terms": DD.tfidf_sql(3),
+        "dedup_keep_canonical": DD.keep_canonical_sql(8, 2),
+        "repetition_stats": DD.repetition_sql(),
+        # the gate corpus unions a doc_id-shifted copy of every 7th doc
+        # (single-line unique test docs have no duplicate lines
+        # otherwise); identical augmentation on the Spark side
+        "duplicate_lines": DD.duplicate_lines_sql(
+            10,
+            2,
+            source="(SELECT * FROM documents UNION ALL "
+            "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
+            "FROM documents WHERE doc_id % 7 = 0)",
+        ),
+        "decontaminate": DD.decontaminate_sql(n=4, threshold=0.1),
+        "embedding_quantize": DD.embedding_quantize_sql(),
+        "hll_users_hour": _hll_users_hour_sql(),
     }

@@ -164,6 +164,12 @@ def run(cpus: int, sf_dir: str, n_synth: int, skip_synth: bool = False, reps: in
             ),
         )
         timed("token_stats_sf", lambda: _force(token_stats(docs)))
+        from ts_raster_spark.operators.hll import hll_distinct_over_tiers
+
+        timed(
+            "hll_users_hour_sf",
+            lambda: _force(hll_distinct_over_tiers(turns_sf, entity="conv_id")),
+        )
         if os.path.exists(emb_path):
             emb = spark.read.parquet(emb_path)
             timed("ann_signlsh_sf", lambda: _force(signlsh_topk(emb, list(range(20)), k=3)))

@@ -302,3 +302,108 @@ def test_video_decode_env_gate(monkeypatch):
     # non-strict always yields the deterministic fake frame
     px = MM._decode(b"\x00" * 64, "video/mp4", 8, 8, strict=False)
     assert px.shape == (8, 8)
+
+
+def test_repetition_stats_crafted(spark):
+    """Hand-computed Gopher repetition signals on a crafted doc."""
+    from ts_raster_spark.operators.textstats import repetition_stats
+
+    # 4 lines, one duplicated ("spam spam"): dup_line_frac = 1/4;
+    # line chars: 9+9+11+5 = 34, distinct chars: 9+11+5 = 25
+    # -> dup_line_char_frac = 9/34; bigrams of "spam spam\nspam spam\n
+    # hello world\napple": tokens = [spam spam spam spam hello world
+    # apple] -> bigrams: "spam spam" x3, "spam hello", "hello world",
+    # "world apple" -> top 3/6
+    text = "spam spam\nspam spam\nhello world\napple"
+    docs = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac"] == pytest.approx(0.25, abs=1e-9)
+    assert r1["dup_line_char_frac"] == pytest.approx(round(9 / 34, 4), abs=1e-9)
+    assert r1["top_bigram_frac"] == pytest.approx(0.5, abs=1e-9)
+    r2 = out[2]  # empty doc: all-zero signals, no NULLs
+    assert (r2["n_lines"], r2["dup_line_frac"], r2["top_bigram_frac"]) == (0, 0.0, 0.0)
+
+
+def test_duplicate_lines_accounting(spark):
+    from ts_raster_spark.operators.textstats import duplicate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (10, "common boilerplate line\nunique one"),
+            (7, "common boilerplate line\ncommon boilerplate line"),
+            (3, "something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_lines(docs, min_chars=10).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_docs"] == 2 and row["n_occurrences"] == 3
+    assert row["canonical_doc_id"] == 7
+    assert row["line_len"] == len("common boilerplate line")
+
+
+def test_decontaminate_ngrams_exact_fractions(spark):
+    from ts_raster_spark.operators.dedup import decontaminate_ngrams
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # contains bench 4-grams "alpha beta gamma delta" and
+            # "beta gamma delta epsilon" -> 2 of its 3 distinct 4-grams
+            (1, "alpha beta gamma delta epsilon omega"),
+            (2, "totally unrelated words here in this document"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate_ngrams(train, bench, n=4, threshold=0.5).collect()}
+    assert out[1]["n_ngrams"] == 3 and out[1]["n_overlap"] == 2
+    assert out[1]["overlap_frac"] == pytest.approx(round(2 / 3, 4), abs=1e-9)
+    assert out[1]["contaminated"] == 1
+    assert out[2]["n_overlap"] == 0 and out[2]["contaminated"] == 0
+    assert 3 not in out  # < n tokens: no n-grams, drops like the oracle
+
+
+def test_embedding_quantize_matches_numpy(spark):
+    import numpy as np
+
+    from ts_raster_spark.operators.similarity import embedding_quantize
+
+    rng = np.random.default_rng(11)
+    vecs = [rng.normal(size=16).astype("float32") for _ in range(20)]
+    vecs.append(np.zeros(4, dtype="float32"))  # all-zero vector edge
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in embedding_quantize(emb).collect()}
+    for i, v in enumerate(vecs):
+        x = v.astype("float64")
+        scale = float(np.max(np.abs(x))) / 127.0
+        if scale > 0:
+            q = np.clip(np.floor(x / scale + 0.5), -127, 127)
+        else:
+            q = np.zeros_like(x)
+        err = np.abs(x - q * scale)
+        r = got[i]
+        assert r["q_checksum"] == int(np.sum(np.arange(1, len(x) + 1) * q))
+        assert r["max_abs_err"] == pytest.approx(float(err.max()), abs=2e-4)
+        assert r["mse"] == pytest.approx(float((err**2).mean()), abs=2e-4)
+        # int8 range honoured
+        assert np.all(np.abs(q) <= 127)
+
+
+def test_quantize_reconstruction_bound(spark):
+    """Absmax int8 guarantees |err| <= scale/2 per element."""
+    import numpy as np
+
+    from ts_raster_spark.operators.similarity import embedding_quantize
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.uniform(-3, 3, 32)]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for r in embedding_quantize(emb).collect():
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6

@@ -22,6 +22,15 @@ ALLOWED_TAIL = {
     "rollup_minute_core",
     "cascade_day_from_minute",
     "dedup_embedding_cosine",
+    # round-3 additions: new engine-added ops (not reference-parity
+    # surfaces) with full value oracles; attested by the local gate +
+    # pytest until window space frees up
+    "dedup_keep_canonical",
+    "repetition_stats",
+    "duplicate_lines",
+    "decontaminate",
+    "embedding_quantize",
+    "hll_users_hour",
 }
 
 # operators that were unattested in round 2 precisely because they sat

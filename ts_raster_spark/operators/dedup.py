@@ -309,6 +309,63 @@ def dedup_keep_canonical(
     return docs.join(keep, "doc_id")
 
 
+def doc_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, ngram) distinct word n-gram pairs; docs shorter than n
+    tokens drop. Generalization of :func:`doc_shingles` (n=3)."""
+    ngrams = (
+        f"transform(sequence(0, size(tokens) - {n}), "
+        f"i -> concat_ws(' ', slice(tokens, i + 1, {n})))"
+    )
+    return (
+        docs.withColumn("tokens", F.expr(TOKENIZE))
+        .where(F.size("tokens") >= n)
+        .withColumn("ngram", F.explode(F.expr(ngrams)))
+        .select("doc_id", "ngram")
+        .distinct()
+    )
+
+
+def decontaminate_ngrams(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination (the n-gram overlap check every public
+    LLM training pipeline runs — GPT-3 appendix C / PaLM / Llama use
+    8-13 word grams; n is a knob): for each training document, the
+    fraction of its distinct word n-grams that also occur anywhere in
+    the benchmark set. Documents at or above ``threshold`` are flagged
+    contaminated and dropped before training.
+
+    Shape: both sides explode to (doc_id, ngram); the benchmark side is
+    reduced to DISTINCT ngrams (small — benchmarks are tiny next to the
+    corpus) and LEFT SEMI-joined against the training ngrams on the
+    ngram key. At 100 TB the semi-join broadcasts when the benchmark
+    fits (typical) and shuffle-joins on the high-cardinality balanced
+    ngram key otherwise; either way no row of training text moves — only
+    (doc_id, ngram) pairs. Output: (doc_id, n_ngrams, n_overlap,
+    overlap_frac, contaminated).
+    """
+    tr = doc_ngrams(train, n)
+    bench = doc_ngrams(benchmark, n).select("ngram").distinct()
+    sizes = tr.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_ngrams"))
+    hits = (
+        tr.join(bench, "ngram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    out = sizes.join(hits, "doc_id", "left").fillna({"n_overlap": 0})
+    frac = F.col("n_overlap") / F.col("n_ngrams")
+    return out.select(
+        "doc_id",
+        "n_ngrams",
+        "n_overlap",
+        r4(frac).alias("overlap_frac"),
+        (frac >= threshold).cast("int").alias("contaminated"),
+    )
+
+
 def simhash16(docs: DataFrame) -> DataFrame:
     """16-bit SimHash from the first 4 hex digits of md5(token), summed
     with multiplicity. Output: (doc_id, simhash16 int)."""

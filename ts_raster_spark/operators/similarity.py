@@ -189,3 +189,46 @@ def signlsh_topk(emb: DataFrame, query_ids: list[int], k: int = 3, n_planes: int
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def embedding_quantize(emb: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4×
+    storage/bandwidth cut a 100 TB vector corpus takes before ANN
+    serving (scale = max|x|/127 per vector, q_i = clamp(round(x_i/scale))
+    — the standard absmax scheme, public in every quantization paper).
+
+    Everything runs JVM-side with higher-order array functions (zero
+    UDF, zero shuffle — pure map over the scan). The quantized vector
+    itself is attested through a position-weighted integer checksum
+    (sum_i (i+1)*q_i) so the oracle comparison covers every element
+    without hashing an array column; reconstruction quality is reported
+    as max-abs error and MSE of dequantized vs original.
+
+    Output: (vec_id, scale, q_checksum, max_abs_err, mse).
+    """
+    idx = "sequence(1, size(embedding))"
+    x = "cast(element_at(embedding, i) as double)"
+    max_abs = F.expr(
+        "aggregate(embedding, 0D, (acc, v) -> greatest(acc, abs(cast(v as double))))"
+    )
+    out = emb.select("vec_id", "embedding", max_abs.alias("max_abs"))
+    out = out.withColumn("scale", F.col("max_abs") / F.lit(127.0))
+    q = (
+        f"CASE WHEN scale > 0 THEN "
+        f"greatest(-127L, least(127L, cast(floor({x} / scale + 0.5D) as long))) "
+        f"ELSE 0L END"
+    )
+    out = out.withColumn("qarr", F.expr(f"transform({idx}, i -> {q})"))
+    err = f"abs({x} - cast(element_at(qarr, i) as double) * scale)"
+    out = out.withColumn("errarr", F.expr(f"transform({idx}, i -> {err})"))
+    return out.select(
+        "vec_id",
+        r4(F.col("scale")).alias("scale"),
+        F.expr(
+            "aggregate(sequence(1, size(qarr)), 0L, (acc, i) -> acc + i * element_at(qarr, i))"
+        ).alias("q_checksum"),
+        r4(F.expr("aggregate(errarr, 0D, (acc, v) -> greatest(acc, v))")).alias("max_abs_err"),
+        r4(
+            F.expr("aggregate(errarr, 0D, (acc, v) -> acc + v * v)") / F.size("errarr")
+        ).alias("mse"),
+    )

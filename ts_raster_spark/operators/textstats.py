@@ -54,6 +54,7 @@ def lang_id(docs: DataFrame, min_score: float = 1.0) -> DataFrame:
 
 
 TOKEN_SPLIT = "filter(split(trim(text), '[ ]+'), x -> x != '')"
+TOKEN_WORDS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -135,6 +136,97 @@ def quality_score(docs: DataFrame) -> DataFrame:
         r4(score).alias("quality"),
         r4(stop_ratio).alias("stopword_ratio"),
         r4(mean_word_len).alias("mean_word_len"),
+    )
+
+
+LINES = "filter(transform(split(text, '\\n'), x -> trim(x)), x -> x != '')"
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021, table A1 — public): duplicate-line fraction, duplicate-line
+    character fraction, and the fraction of word-bigram occurrences
+    taken by the single most frequent bigram. High values flag
+    boilerplate/spam a pretraining pipeline drops.
+
+    Scale shape: the line-level signals are pure array expressions
+    (array_distinct inside the row — zero shuffle, scan speed); the
+    top-bigram signal explodes bigrams and aggregates twice on doc_id,
+    so both shuffles are keyed by doc_id (high cardinality, balanced).
+    Output: (doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_bigram_frac).
+    """
+    lines = F.expr(LINES)
+    dlines = F.array_distinct(lines)
+    chars = "aggregate({}, 0L, (acc, x) -> acc + length(x))"
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(dlines).cast("long").alias("n_dlines"),
+        F.expr(chars.format(LINES)).alias("line_chars"),
+        F.expr(chars.format(f"array_distinct({LINES})")).alias("dline_chars"),
+    )
+    bigrams = (
+        docs.withColumn("tokens", F.expr(TOKEN_WORDS))
+        .where(F.size("tokens") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tokens) - 2), "
+                    "i -> concat_ws(' ', element_at(tokens, i + 1), element_at(tokens, i + 2)))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams"))
+    )
+    out = base.join(top, "doc_id", "left")
+    one = F.greatest(F.col("n_lines"), F.lit(1))
+    return out.select(
+        "doc_id",
+        "n_lines",
+        r4((F.col("n_lines") - F.col("n_dlines")) / one).alias("dup_line_frac"),
+        r4(
+            (F.col("line_chars") - F.col("dline_chars"))
+            / F.greatest(F.col("line_chars"), F.lit(1))
+        ).alias("dup_line_char_frac"),
+        r4(
+            F.coalesce(F.col("top_cnt") / F.col("n_bigrams"), F.lit(0.0))
+        ).alias("top_bigram_frac"),
+    )
+
+
+def duplicate_lines(docs: DataFrame, min_chars: int = 10, min_occurrences: int = 2) -> DataFrame:
+    """Corpus-level duplicated-line index (the CCNet/C4 line-dedup
+    primitive, public): every trimmed line of ≥ ``min_chars`` chars that
+    appears ≥ ``min_occurrences`` times across the corpus, with its
+    document reach and a canonical owner. A pipeline joins this back to
+    strip boilerplate lines before training.
+
+    Shape: explode lines → one groupBy on md5(line) — high-cardinality
+    balanced shuffle; the md5 key keeps the shuffle rows narrow (16
+    bytes, not the line text). Output: (line_md5, line_len, n_docs,
+    n_occurrences, canonical_doc_id).
+    """
+    lines = docs.select(
+        "doc_id", F.explode(F.expr(LINES)).alias("line")
+    ).where(F.length("line") >= min_chars)
+    return (
+        lines.select("doc_id", F.md5("line").alias("line_md5"), F.length("line").alias("line_len"))
+        .groupBy("line_md5")
+        .agg(
+            F.min("line_len").cast("long").alias("line_len"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .where(F.col("n_occurrences") >= min_occurrences)
     )
 
 

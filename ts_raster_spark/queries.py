@@ -337,6 +337,71 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_dedup_keep_canonical(spark, sf_dir):
+    """End-to-end near-dup dedup: MinHash-LSH pairs → components → keep
+    the component-min doc + singletons, with cluster-size accounting."""
+    from ts_raster_spark.operators.dedup import dedup_keep_canonical
+
+    out = dedup_keep_canonical(_docs(spark, sf_dir), k=8, band_size=2)
+    return out.select("doc_id", "source", "n_chars", "component", "n_dups")
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (dup-line / dup-char / top-bigram
+    fractions) — the boilerplate filter of a pretraining pipeline."""
+    from ts_raster_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_duplicate_lines(spark, sf_dir):
+    """Corpus-level duplicated-line index (CCNet/C4 line dedup). The
+    test corpus is single-line unique docs, so the gate unions a
+    doc_id-shifted copy of every 7th document — deterministic, mirrored
+    exactly in the oracle — to exercise the multi-doc/multi-occurrence
+    accounting."""
+    from ts_raster_spark.operators.textstats import duplicate_lines
+
+    docs = _docs(spark, sf_dir)
+    shifted = docs.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return duplicate_lines(docs.unionByName(shifted), min_chars=10)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: word 4-gram overlap of every training
+    doc (doc_id % 20 != 0) against the held-out benchmark split
+    (doc_id % 20 == 0); ≥10% overlap flags the doc contaminated."""
+    from ts_raster_spark.operators.dedup import decontaminate_ngrams
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return decontaminate_ngrams(train, bench, n=4, threshold=0.1)
+
+
+def q_hll_users_hour(spark, sf_dir):
+    """Distinct conversations per hour three ways: exact, HLL-direct,
+    and HLL merged up from minute-tier registers (the 100 TB path: 256
+    narrow register rows per bucket instead of shuffling every distinct
+    (bucket, conv) pair; minute→hour merge = MAX, never rescans raw).
+    Direct and merged are algebraically equal, so one oracle expression
+    attests both columns — a hash match proves the merge exact."""
+    from ts_raster_spark.operators.hll import hll_distinct_over_tiers
+
+    t = load_turns(spark, sf_dir)
+    return finalize(hll_distinct_over_tiers(t, entity="conv_id", fine="minute", coarse="hour"))
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Absmax int8 quantization of the embedding column with checksum +
+    reconstruction-error attestation (pure array expressions, no UDF)."""
+    from ts_raster_spark.operators.similarity import embedding_quantize
+
+    return embedding_quantize(_emb(spark, sf_dir))
+
+
 # --- ML-prep tail (sample/split/scale/relevance/combine) --------------------
 
 def q_sample_turns(spark, sf_dir):

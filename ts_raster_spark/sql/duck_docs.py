@@ -76,10 +76,9 @@ WHERE a.doc_id < b.doc_id
 """
 
 
-def components_sql(k: int = 8, band_size: int = 2) -> str:
-    """Connected components over the MinHash-LSH candidate pairs via a
-    recursive transitive-closure CTE (min reachable doc_id = component).
-    Twin of dedup.connected_components over minhash_lsh_pairs."""
+def _components_ctes(k: int, band_size: int) -> str:
+    """Shared CTE chain: shingles → MinHash sigs → LSH bands → edges →
+    transitive-closure components (min reachable doc_id = component)."""
     mh = ", ".join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(k))
     n_bands = k // band_size
     band_rows = "\nUNION ALL\n".join(
@@ -102,9 +101,29 @@ reach(node, lbl) AS (
     SELECT doc_id, doc_id FROM documents
     UNION
     SELECT und.v, reach.lbl FROM reach JOIN und ON und.u = reach.node
-)
-SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node)"""
+
+
+def components_sql(k: int = 8, band_size: int = 2) -> str:
+    """Twin of dedup.connected_components over minhash_lsh_pairs."""
+    return _components_ctes(k, band_size) + "\nSELECT doc_id, component FROM comp\n"
+
+
+def keep_canonical_sql(k: int = 8, band_size: int = 2) -> str:
+    """Twin of dedup.dedup_keep_canonical: near-dup components, keep the
+    component-min document, report the cluster size it represents."""
+    return (
+        _components_ctes(k, band_size)
+        + """,
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n_dups FROM comp GROUP BY 1)
+SELECT d.doc_id, d.source, d.n_chars, c.component, s.n_dups
+FROM comp c
+JOIN sizes s USING (component)
+JOIN documents d ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.component
 """
+    )
 
 
 def simhash16_sql() -> str:
@@ -292,4 +311,117 @@ def fingerprint_sql() -> str:
     return """
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint
 FROM documents
+"""
+
+
+LINES_SQL = (
+    "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x != '')"
+)
+
+
+def repetition_sql() -> str:
+    """Twin of textstats.repetition_stats (Gopher repetition signals)."""
+    chars = "coalesce(list_sum(list_transform({}, x -> length(x))), 0)"
+    return f"""WITH {TOKS_CTE},
+base AS (
+    SELECT doc_id,
+        len({LINES_SQL}) AS n_lines,
+        len(list_distinct({LINES_SQL})) AS n_dlines,
+        {chars.format(LINES_SQL)} AS line_chars,
+        {chars.format(f'list_distinct({LINES_SQL})')} AS dline_chars
+    FROM documents
+),
+bg AS (
+    SELECT doc_id,
+        unnest(list_transform(range(1, len(tokens)), j -> tokens[j] || ' ' || tokens[j+1])) AS bigram
+    FROM toks WHERE len(tokens) >= 2
+),
+cnts AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_bigrams FROM cnts GROUP BY 1)
+SELECT b.doc_id,
+    CAST(b.n_lines AS BIGINT) AS n_lines,
+    round((b.n_lines - b.n_dlines) / greatest(b.n_lines, 1), 4) AS dup_line_frac,
+    round((b.line_chars - b.dline_chars) / greatest(b.line_chars, 1), 4) AS dup_line_char_frac,
+    round(coalesce(t.top_cnt / t.n_bigrams, 0.0), 4) AS top_bigram_frac
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+def duplicate_lines_sql(
+    min_chars: int = 10, min_occurrences: int = 2, source: str = "documents"
+) -> str:
+    """Twin of textstats.duplicate_lines (corpus line-dedup index).
+    ``source`` lets the gate point at a unioned/augmented corpus."""
+    return f"""WITH lx AS (
+    SELECT doc_id, unnest({LINES_SQL}) AS line FROM {source}
+),
+lf AS (SELECT doc_id, md5(line) AS line_md5, length(line) AS line_len
+       FROM lx WHERE length(line) >= {min_chars})
+SELECT line_md5,
+    CAST(min(line_len) AS BIGINT) AS line_len,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    CAST(count(*) AS BIGINT) AS n_occurrences,
+    min(doc_id) AS canonical_doc_id
+FROM lf GROUP BY line_md5
+HAVING count(*) >= {min_occurrences}
+"""
+
+
+def decontaminate_sql(n: int = 5, threshold: float = 0.1, bench_pred: str = "doc_id % 20 = 0") -> str:
+    """Twin of dedup.decontaminate_ngrams with train = NOT(bench_pred),
+    benchmark = bench_pred over the documents table."""
+    grams = (
+        f"unnest(list_transform(range(1, len(tokens) - {n - 2}), "
+        f"j -> array_to_string(list_slice(tokens, j, j + {n - 1}), ' '))) AS ngram"
+    )
+    return f"""WITH {TOKS_CTE},
+tr AS (
+    SELECT DISTINCT doc_id, {grams}
+    FROM toks WHERE len(tokens) >= {n} AND NOT ({bench_pred})
+),
+bench AS (
+    SELECT DISTINCT {grams}
+    FROM toks WHERE len(tokens) >= {n} AND ({bench_pred})
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM tr GROUP BY 1),
+hits AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM tr WHERE ngram IN (SELECT ngram FROM bench) GROUP BY 1
+)
+SELECT s.doc_id, s.n_ngrams,
+    CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+    round(coalesce(h.n_overlap, 0) / s.n_ngrams, 4) AS overlap_frac,
+    CAST(coalesce(h.n_overlap, 0) / s.n_ngrams >= {threshold} AS INTEGER) AS contaminated
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def embedding_quantize_sql() -> str:
+    """Twin of similarity.embedding_quantize (absmax int8 + checksum)."""
+    q = (
+        "CASE WHEN scale > 0 THEN greatest(-127, least(127, "
+        "CAST(floor(embedding[j]::DOUBLE / scale + 0.5) AS BIGINT))) ELSE 0 END"
+    )
+    return f"""WITH s1 AS (
+    SELECT vec_id, embedding,
+        coalesce(list_max(list_transform(embedding, v -> abs(v::DOUBLE))), 0.0) / 127.0 AS scale
+    FROM embeddings
+),
+s2 AS (
+    SELECT vec_id, embedding, scale,
+        list_transform(range(1, len(embedding) + 1), j -> {q}) AS qarr
+    FROM s1
+),
+s3 AS (
+    SELECT vec_id, scale, qarr,
+        list_transform(range(1, len(embedding) + 1),
+            j -> abs(embedding[j]::DOUBLE - qarr[j]::DOUBLE * scale)) AS errarr
+    FROM s2
+)
+SELECT vec_id,
+    round(scale, 4) AS scale,
+    CAST(coalesce(list_sum(list_transform(range(1, len(qarr) + 1), j -> j * qarr[j])), 0) AS BIGINT) AS q_checksum,
+    round(coalesce(list_max(errarr), 0.0), 4) AS max_abs_err,
+    round(coalesce(list_sum(list_transform(errarr, e -> e * e)), 0.0) / len(errarr), 4) AS mse
+FROM s3
 """
