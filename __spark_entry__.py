@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": Q.q_decontaminate,
         "embedding_quantize": Q.q_embedding_quantize,
         "hll_users_hour": Q.q_hll_users_hour,
+        "curate_corpus": Q.q_curate_corpus,
+        "stream_dedup_exact": Q.q_stream_dedup_exact,
     }
 
 
@@ -822,4 +824,13 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
         "decontaminate": DD.decontaminate_sql(n=4, threshold=0.1),
         "embedding_quantize": DD.embedding_quantize_sql(),
         "hll_users_hour": _hll_users_hour_sql(),
+        "curate_corpus": DD.curate_corpus_sql(
+            min_quality=0.5, n=4, threshold=0.1
+        ),
+        # stream dedup: survivors of double delivery == the base table
+        "stream_dedup_exact": f"""{TURNS_CTE}
+SELECT conv_id, turn_idx, md5(text) AS content_md5,
+    strftime(ts, '{TS_FMT}') AS ts
+FROM turns
+""",
     }

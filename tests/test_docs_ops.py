@@ -407,3 +407,29 @@ def test_quantize_reconstruction_bound(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     for r in embedding_quantize(emb).collect():
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6
+
+
+def test_curate_corpus_verdicts(spark):
+    """Each rejection stage fires on a crafted corpus, first-fail wins."""
+    from ts_raster_spark.operators.curation import curate_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and then the "
+            "dog naps under a tree while the fox runs far away home")
+    rows = [
+        (1, good + " extra tail one"),
+        (2, good + " extra tail one"),            # exact dup of 1
+        (3, good + " slightly changed tail two"),  # near dup of 1
+        (4, "zz xq"),                              # low quality (short)
+        (5, "completely separate words about spark catalyst optimizer "
+            "plans and the shuffle exchange behavior of wide joins in "
+            "the adaptive execution engine of modern query systems"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, rows[4][1])], "doc_id long, text string")
+    got = {r["doc_id"]: r["verdict"] for r in curate_corpus(docs, bench).collect()}
+    assert got[1] == "kept"
+    assert got[2] in ("exact_dup", "near_dup")  # exact canonical is min id
+    assert got[2] == "exact_dup"
+    assert got[3] == "near_dup"
+    assert got[4] == "low_quality"
+    assert got[5] == "contaminated"

@@ -31,6 +31,8 @@ ALLOWED_TAIL = {
     "decontaminate",
     "embedding_quantize",
     "hll_users_hour",
+    "curate_corpus",
+    "stream_dedup_exact",
 }
 
 # operators that were unattested in round 2 precisely because they sat

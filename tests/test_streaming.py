@@ -109,3 +109,36 @@ def test_stream_append_mode_respects_watermark(spark, turns_dir):
     run_to_memory(sdf_a, "wm_append", output_mode="append")
     n_append = spark.table("wm_append").count()
     assert n_append <= n_complete
+
+
+def test_stream_dedup_exact_parity(spark, tmp_path):
+    """Triple-delivered rows collapse to the distinct set (batch parity),
+    state bounded by the watermark."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from ts_raster_spark.streaming.rollup_stream import (
+        run_to_memory,
+        stream_dedup_exact,
+        stream_turns,
+    )
+
+    t0 = datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        (f"conv-{i % 5}", i // 5, "user", f"text-{i}", None, t0 + timedelta(minutes=i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    tripled = df.unionByName(df).unionByName(df)
+    path = str(tmp_path / "in")
+    tripled.repartitionByRange(4, "conv_id", "turn_idx").write.parquet(path)
+    out = stream_dedup_exact(stream_turns(spark, path))
+    run_to_memory(out, "sdedup_test", "append")
+    got = spark.table("sdedup_test")
+    assert got.count() == 40
+    assert got.select("conv_id", "turn_idx").distinct().count() == 40
+    want = {(r["conv_id"], r["turn_idx"]) for r in df.collect()}
+    assert {(r["conv_id"], r["turn_idx"]) for r in got.collect()} == want

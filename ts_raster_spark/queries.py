@@ -381,6 +381,54 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate_ngrams(train, bench, n=4, threshold=0.1)
 
 
+def q_stream_dedup_exact(spark, sf_dir):
+    """Streaming at-least-once dedup exposed to the batch gate: the
+    turns table is delivered TWICE (duplicate-delivery simulation,
+    copies co-located per key by a range repartition so every duplicate
+    pair shares a micro-batch), drained through
+    dropDuplicatesWithinWatermark, and the surviving rows must equal the
+    original table exactly — the oracle is the base turns projection."""
+    import hashlib
+    import os as _os
+
+    from ts_raster_spark.streaming.rollup_stream import (
+        run_to_memory,
+        stream_dedup_exact,
+        stream_turns,
+    )
+
+    turns = load_turns(spark, sf_dir)
+    tag = hashlib.md5(f"dedup:{sf_dir}".encode()).hexdigest()[:8]
+    root = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".bench_tmp")
+    _os.makedirs(root, exist_ok=True)
+    path = _os.path.join(root, f"tsrs_sdedup_in_{tag}")
+    doubled = turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    doubled = doubled.unionByName(doubled)
+    (
+        doubled.repartitionByRange(8, "conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    deduped = stream_dedup_exact(stream_turns(spark, path))
+    name = f"tsrs_sdedup_mem_{tag}"
+    run_to_memory(deduped, name, "append")
+    return finalize(spark.table(name))
+
+
+def q_curate_corpus(spark, sf_dir):
+    """The composed curation pass (quality → decontaminate → exact dedup
+    → near-dup dedup) over the full corpus, benchmark = doc_id % 20 == 0
+    (benchmark members curate to 'contaminated' — they overlap
+    themselves). One verdict row per document, first failing stage wins;
+    oracle composes the four primitive twins."""
+    from ts_raster_spark.operators.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return curate_corpus(docs, bench, min_quality=0.5, contamination_n=4,
+                         contamination_threshold=0.1)
+
+
 def q_hll_users_hour(spark, sf_dir):
     """Distinct conversations per hour three ways: exact, HLL-direct,
     and HLL merged up from minute-tier registers (the 100 TB path: 256

@@ -367,9 +367,16 @@ HAVING count(*) >= {min_occurrences}
 """
 
 
-def decontaminate_sql(n: int = 5, threshold: float = 0.1, bench_pred: str = "doc_id % 20 = 0") -> str:
-    """Twin of dedup.decontaminate_ngrams with train = NOT(bench_pred),
-    benchmark = bench_pred over the documents table."""
+def decontaminate_sql(
+    n: int = 5,
+    threshold: float = 0.1,
+    bench_pred: str = "doc_id % 20 = 0",
+    train_pred: str | None = None,
+) -> str:
+    """Twin of dedup.decontaminate_ngrams: benchmark = bench_pred rows,
+    train = train_pred rows (default: the complement of bench_pred)."""
+    if train_pred is None:
+        train_pred = f"NOT ({bench_pred})"
     grams = (
         f"unnest(list_transform(range(1, len(tokens) - {n - 2}), "
         f"j -> array_to_string(list_slice(tokens, j, j + {n - 1}), ' '))) AS ngram"
@@ -377,7 +384,7 @@ def decontaminate_sql(n: int = 5, threshold: float = 0.1, bench_pred: str = "doc
     return f"""WITH {TOKS_CTE},
 tr AS (
     SELECT DISTINCT doc_id, {grams}
-    FROM toks WHERE len(tokens) >= {n} AND NOT ({bench_pred})
+    FROM toks WHERE len(tokens) >= {n} AND ({train_pred})
 ),
 bench AS (
     SELECT DISTINCT {grams}
@@ -424,4 +431,31 @@ SELECT vec_id,
     round(coalesce(list_max(errarr), 0.0), 4) AS max_abs_err,
     round(coalesce(list_sum(list_transform(errarr, e -> e * e)), 0.0) / len(errarr), 4) AS mse
 FROM s3
+"""
+
+
+def curate_corpus_sql(
+    min_quality: float = 0.5,
+    n: int = 4,
+    threshold: float = 0.1,
+    bench_pred: str = "doc_id % 20 = 0",
+) -> str:
+    """Twin of curation.curate_corpus over the full documents table with
+    the benchmark drawn from bench_pred rows (benchmark members curate
+    to 'contaminated' — they overlap themselves). Composes the four
+    already-attested primitive twins as derived tables; first failing
+    stage wins, in the same order as the Spark op."""
+    dec = decontaminate_sql(n=n, threshold=threshold, bench_pred=bench_pred, train_pred="TRUE")
+    return f"""
+SELECT d.doc_id,
+    CASE WHEN q.quality < {min_quality} THEN 'low_quality'
+         WHEN coalesce(c.contaminated, 0) = 1 THEN 'contaminated'
+         WHEN e.doc_id IS NULL THEN 'exact_dup'
+         WHEN k.doc_id IS NULL THEN 'near_dup'
+         ELSE 'kept' END AS verdict
+FROM documents d
+LEFT JOIN ({quality_sql()}) q USING (doc_id)
+LEFT JOIN ({dec}) c USING (doc_id)
+LEFT JOIN (SELECT canonical_doc_id AS doc_id FROM ({exact_dedup_sql()})) e USING (doc_id)
+LEFT JOIN (SELECT doc_id FROM ({keep_canonical_sql()})) k USING (doc_id)
 """

@@ -114,6 +114,23 @@ def stateful_turn_counter(turns_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_exact(turns_stream: DataFrame, watermark: str = "720 hours") -> DataFrame:
+    """At-least-once-source dedup: duplicate deliveries of the same turn
+    (same conv_id/turn_idx/content hash) arriving within the watermark
+    are dropped via ``dropDuplicatesWithinWatermark`` — the bounded-state
+    streaming dedup (state for a key is evicted once the watermark
+    passes it, unlike plain dropDuplicates whose state grows forever).
+    The 100 TB story: dedup state is capped by the watermark horizon,
+    not the stream's lifetime."""
+    keyed = turns_stream.select(
+        "conv_id",
+        "turn_idx",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.md5("text").alias("content_md5"),
+    ).withWatermark("ts", watermark)
+    return keyed.dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "content_md5"])
+
+
 def run_to_memory(sdf: DataFrame, query_name: str, output_mode: str) -> None:
     """Drain the finite file-source backlog into an in-memory table
     (availableNow trigger), then stop — the batch-parity test harness."""
