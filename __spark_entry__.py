@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_hour": Q.q_hll_users_hour,
         "curate_corpus": Q.q_curate_corpus,
         "stream_dedup_exact": Q.q_stream_dedup_exact,
+        "chunk_documents": Q.q_chunk_documents,
+        "pack_documents": Q.q_pack_documents,
     }
 
 
@@ -833,4 +835,6 @@ SELECT conv_id, turn_idx, md5(text) AS content_md5,
     strftime(ts, '{TS_FMT}') AS ts
 FROM turns
 """,
+        "chunk_documents": DD.chunk_documents_sql(64, 16),
+        "pack_documents": DD.pack_documents_sql(512, "source"),
     }

@@ -433,3 +433,47 @@ def test_curate_corpus_verdicts(spark):
     assert got[3] == "near_dup"
     assert got[4] == "low_quality"
     assert got[5] == "contaminated"
+
+
+def test_chunk_documents_boundaries(spark):
+    from ts_raster_spark.operators.chunking import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "only three words"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, chunk=4 stride=3 -> chunks at 0,3,6,9 -> 1+ceil(6/3)=3
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_text"] for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"
+    ]
+    assert [r["n_tokens"] for r in c1] == [4, 4, 4]
+    # consecutive chunks share exactly `overlap` tokens
+    assert c1[0]["chunk_text"].split()[-1] == c1[1]["chunk_text"].split()[0]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "only three words"
+    assert 3 not in by_doc  # empty doc drops
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_pack_documents_budget(spark):
+    from ts_raster_spark.operators.chunking import pack_documents
+
+    rows = [
+        (1, "a b c d e", "s1"),       # 5 tokens
+        (2, "f g h", "s1"),           # 3
+        (3, " ".join(["x"] * 6), "s1"),  # 6 -> before=8, pack 1 (budget 8)
+        (4, "one two", "s2"),         # separate shard restarts at 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in pack_documents(docs, budget=8, shard_col="source").collect()}
+    assert (got[1]["pack_id"], got[1]["offset_in_pack"]) == (0, 0)
+    assert (got[2]["pack_id"], got[2]["offset_in_pack"]) == (0, 5)
+    assert (got[3]["pack_id"], got[3]["offset_in_pack"]) == (1, 0)
+    assert (got[4]["pack_id"], got[4]["offset_in_pack"]) == (0, 0)
+    assert got[4]["shard"] == "s2"

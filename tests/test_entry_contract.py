@@ -33,6 +33,8 @@ ALLOWED_TAIL = {
     "hll_users_hour",
     "curate_corpus",
     "stream_dedup_exact",
+    "chunk_documents",
+    "pack_documents",
 }
 
 # operators that were unattested in round 2 precisely because they sat

@@ -381,6 +381,23 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate_ngrams(train, bench, n=4, threshold=0.1)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-token chunking with overlap (RAG / pretraining windows) —
+    pure array explode at scan speed, no shuffle."""
+    from ts_raster_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
+def q_pack_documents(spark, sf_dir):
+    """Sequence packing: per-shard (source) cumulative-token pack
+    assignment under a 512-token budget — the window partitions by
+    shard, so no global single-task stage exists at scale."""
+    from ts_raster_spark.operators.chunking import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), budget=512, shard_col="source")
+
+
 def q_stream_dedup_exact(spark, sf_dir):
     """Streaming at-least-once dedup exposed to the batch gate: the
     turns table is delivered TWICE (duplicate-delivery simulation,

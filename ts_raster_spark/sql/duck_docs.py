@@ -459,3 +459,46 @@ LEFT JOIN ({dec}) c USING (doc_id)
 LEFT JOIN (SELECT canonical_doc_id AS doc_id FROM ({exact_dedup_sql()})) e USING (doc_id)
 LEFT JOIN (SELECT doc_id FROM ({keep_canonical_sql()})) k USING (doc_id)
 """
+
+
+def chunk_documents_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    """Twin of chunking.chunk_documents."""
+    stride = chunk_tokens - overlap
+    piece = f"list_slice(tokens, chunk_idx * {stride} + 1, chunk_idx * {stride} + {chunk_tokens})"
+    return f"""WITH {TOKS_CTE},
+t AS (
+    SELECT doc_id, tokens,
+        CASE WHEN len(tokens) <= {chunk_tokens} THEN 1
+             ELSE 1 + CAST(ceil((len(tokens) - {chunk_tokens}) / {float(stride)}) AS INTEGER)
+        END AS n_chunks
+    FROM toks WHERE len(tokens) >= 1
+),
+x AS (
+    SELECT doc_id, tokens, unnest(range(0, n_chunks)) AS chunk_idx FROM t
+)
+SELECT doc_id,
+    CAST(chunk_idx AS INTEGER) AS chunk_idx,
+    CAST(len({piece}) AS BIGINT) AS n_tokens,
+    array_to_string({piece}, ' ') AS chunk_text
+FROM x
+"""
+
+
+def pack_documents_sql(budget: int = 512, shard_col: str = "source") -> str:
+    """Twin of chunking.pack_documents."""
+    return f"""WITH t AS (
+    SELECT {shard_col} AS shard, doc_id,
+        CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT shard, doc_id, n_tokens,
+        coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+    FROM t
+)
+SELECT shard, doc_id, n_tokens,
+    CAST(floor(before / {budget}) AS BIGINT) AS pack_id,
+    CAST(before % {budget} AS BIGINT) AS offset_in_pack
+FROM c
+"""
