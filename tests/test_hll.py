@@ -109,3 +109,25 @@ def test_merge_equals_direct(spark):
     assert {
         (x["bucket"], x["register"]) for x in merged.collect()
     } == {(x["bucket"], x["register"]) for x in whole.collect()}
+
+
+def test_rho_expr_edges(spark):
+    """rho at the word-boundary edges: w=0 (all 24 bits zero) -> 25,
+    w=1 -> 24, top bit set -> 1 — exercised directly since a random
+    corpus virtually never hits w=0 (p = 2^-24)."""
+    df = spark.createDataFrame(
+        [(0,), (1,), (2,), (3,), (1 << 22,), (1 << 23,), ((1 << 24) - 1,)], "w long"
+    )
+    from pyspark.sql import functions as F
+
+    got = {r["w"]: r["rho"] for r in df.select("w", F.expr(H.rho_expr("w")).alias("rho")).collect()}
+    assert got[0] == 25 and got[1] == 24 and got[2] == 23 and got[3] == 23
+    assert got[1 << 22] == 2 and got[1 << 23] == 1 and got[(1 << 24) - 1] == 1
+    # identical results from DuckDB on the same expression text
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT w, {H.rho_expr('w')} AS rho FROM (VALUES (0), (1), (2), (3), "
+        f"({1 << 22}), ({1 << 23}), ({(1 << 24) - 1})) t(w)"
+    ).fetchall()
+    assert {w: r for w, r in rows} == got
