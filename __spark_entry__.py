@@ -146,6 +146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_exact": Q.q_stream_dedup_exact,
         "chunk_documents": Q.q_chunk_documents,
         "pack_documents": Q.q_pack_documents,
+        "moving_stats_time": Q.q_moving_stats_time,
+        "new_convs_hour": Q.q_new_convs_hour,
+        "cohort_retention": Q.q_cohort_retention,
     }
 
 
@@ -837,4 +840,39 @@ FROM turns
 """,
         "chunk_documents": DD.chunk_documents_sql(64, 16),
         "pack_documents": DD.pack_documents_sql(512, "source"),
+        # trailing-1h RANGE frame over integer epoch-µs: value-based
+        # frame → tie order irrelevant, exact in both engines
+        "moving_stats_time": f"""{LONG_CTE}
+SELECT conv_id, turn_idx,
+    round(avg(value) OVER w, 4) AS rolling_mean_1h,
+    round(max(value) OVER w, 4) AS rolling_max_1h,
+    CAST(count(value) OVER w AS BIGINT) AS rolling_n_1h
+FROM long_panel WHERE kind = 'text_len'
+WINDOW w AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+        "new_convs_hour": f"""{TURNS_CTE},
+active AS (SELECT date_trunc('hour', ts) AS b, conv_id FROM turns GROUP BY 1, 2),
+a AS (SELECT b, CAST(count(*) AS BIGINT) AS n_active FROM active GROUP BY 1),
+fs AS (SELECT conv_id, min(ts) AS first_ts FROM turns GROUP BY 1),
+nn AS (SELECT date_trunc('hour', first_ts) AS b, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY 1)
+SELECT strftime(a.b, '{TS_FMT}') AS bucket_start, a.n_active,
+    CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new,
+    round(coalesce(nn.n_new, 0) / a.n_active, 4) AS new_frac
+FROM a LEFT JOIN nn USING (b)
+""",
+        "cohort_retention": f"""{TURNS_CTE},
+active AS (SELECT DISTINCT date_trunc('hour', ts) AS b, conv_id FROM turns),
+ret AS (
+    SELECT x.b, CAST(count(*) AS BIGINT) AS n_retained_1h
+    FROM active x JOIN active y
+      ON y.conv_id = x.conv_id AND y.b = x.b + INTERVAL 1 HOUR
+    GROUP BY 1
+),
+cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS n_active FROM active GROUP BY 1)
+SELECT strftime(cnt.b, '{TS_FMT}') AS bucket_start, cnt.n_active,
+    CAST(coalesce(ret.n_retained_1h, 0) AS BIGINT) AS n_retained_1h,
+    round(coalesce(ret.n_retained_1h, 0) / cnt.n_active, 4) AS retention_1h
+FROM cnt LEFT JOIN ret USING (b)
+""",
     }

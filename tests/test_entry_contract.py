@@ -35,6 +35,9 @@ ALLOWED_TAIL = {
     "stream_dedup_exact",
     "chunk_documents",
     "pack_documents",
+    "moving_stats_time",
+    "new_convs_hour",
+    "cohort_retention",
 }
 
 # operators that were unattested in round 2 precisely because they sat

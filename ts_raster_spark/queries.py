@@ -846,6 +846,85 @@ def q_moving_stats(spark, sf_dir):
     return out
 
 
+def q_moving_stats_time(spark, sf_dir):
+    """Rolling per-conversation stats over a trailing ONE-HOUR time
+    window (RANGE frame on integer epoch-microseconds — value-based, so
+    tie order is irrelevant and both engines agree exactly). The
+    time-interval twin of the row-frame moving_stats."""
+    long_df = load_long(spark, sf_dir).where(F.col("kind") == "text_len")
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(epoch_us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return long_df.select(
+        "conv_id",
+        "turn_idx",
+        r4(F.avg("value").over(w)).alias("rolling_mean_1h"),
+        r4(F.max("value").over(w)).alias("rolling_max_1h"),
+        F.count("value").over(w).cast("long").alias("rolling_n_1h"),
+    )
+
+
+def q_new_convs_hour(spark, sf_dir):
+    """Cohort entry: per hour, conversations active vs seen for the
+    FIRST time (the new-vs-returning split of a usage rollup). First-seen
+    is one groupBy(conv) min(ts); no global window."""
+    t = load_turns(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts")).alias("bucket_start")
+    active = (
+        t.select(hour, "conv_id").distinct()
+        .groupBy("bucket_start")
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    first_seen = (
+        t.groupBy("conv_id").agg(F.min("ts").alias("first_ts"))
+        .select(F.date_trunc("hour", F.col("first_ts")).alias("bucket_start"))
+        .groupBy("bucket_start")
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    out = active.join(first_seen, "bucket_start", "left").fillna({"n_new": 0})
+    return finalize(
+        out.select(
+            "bucket_start",
+            "n_active",
+            "n_new",
+            r4(F.col("n_new") / F.col("n_active")).alias("new_frac"),
+        )
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Hour-over-hour retention: of the conversations active in bucket
+    b, how many are also active in b+1h. Distinct (conv, hour) pairs
+    self-join on (conv, hour+1) — equi-join keyed by conv AND hour, so
+    a heavy conversation spreads across buckets; no window."""
+    t = load_turns(spark, sf_dir)
+    active = t.select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start"), "conv_id"
+    ).distinct()
+    nxt = active.select(
+        (F.col("bucket_start") - F.expr("INTERVAL 1 HOUR")).alias("bucket_start"),
+        F.col("conv_id").alias("conv_id"),
+    )
+    retained = (
+        active.join(nxt, ["bucket_start", "conv_id"], "left_semi")
+        .groupBy("bucket_start")
+        .agg(F.count("*").cast("long").alias("n_retained_1h"))
+    )
+    counts = active.groupBy("bucket_start").agg(F.count("*").cast("long").alias("n_active"))
+    out = counts.join(retained, "bucket_start", "left").fillna({"n_retained_1h": 0})
+    return finalize(
+        out.select(
+            "bucket_start",
+            "n_active",
+            "n_retained_1h",
+            r4(F.col("n_retained_1h") / F.col("n_active")).alias("retention_1h"),
+        )
+    )
+
+
 def q_moving_quantiles(spark, sf_dir):
     """Rolling exact quantiles over the trailing 5 turns (moving median
     and p95) — holistic aggregates as frame-spec window functions, kept
