@@ -92,7 +92,11 @@ def one_sf(sf_dir: str) -> pd.DataFrame:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    if "--out" in argv:
+        i = argv.index("--out")
+        argv = argv[:i] + argv[i + 2:]  # drop the flag AND its value
+    args = [a for a in argv if not a.startswith("--")]
     sf_dirs = args or [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
