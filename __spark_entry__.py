@@ -149,6 +149,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_stats_time": Q.q_moving_stats_time,
         "new_convs_hour": Q.q_new_convs_hour,
         "cohort_retention": Q.q_cohort_retention,
+        "conv_features_ext": Q.q_conv_features_ext,
+        "ohlc_hour": Q.q_ohlc_hour,
+        "counter_rate_hour": Q.q_counter_rate_hour,
+        "state_durations": Q.q_state_durations,
+        "heartbeat_uptime": Q.q_heartbeat_uptime,
     }
 
 
@@ -272,6 +277,29 @@ FROM feats f
 LEFT JOIN strikes s ON f.conv_id = s.conv_id AND f.kind = s.kind
 LEFT JOIN trend t ON f.conv_id = t.conv_id AND f.kind = t.kind
 LEFT JOIN entropy e ON f.conv_id = e.conv_id AND f.kind = e.kind
+"""
+
+
+def _conv_features_ext_sql() -> str:
+    """Twin of queries.q_conv_features_ext (extended tsfresh dictionary,
+    sql/duck_features_ext.py carries the per-feature expressions)."""
+    from ts_raster_spark.sql.duck_features_ext import (
+        EXT_EXPRS,
+        ext_feature_select,
+        ext_stats_cte,
+    )
+
+    sel = ext_feature_select(list(EXT_EXPRS), keys=["conv_id", "kind"])
+    return f"""{LONG_CTE},
+base AS (
+    SELECT conv_id, kind, turn_idx, ts, value FROM long_panel
+    WHERE kind IN ('text_len', 'value')
+),
+{stats_cte(["conv_id", "kind"], src="base")},
+{ext_stats_cte(["conv_id", "kind"])}
+SELECT {sel}
+FROM ext_stats
+GROUP BY conv_id, kind
 """
 
 
@@ -874,5 +902,62 @@ SELECT strftime(cnt.b, '{TS_FMT}') AS bucket_start, cnt.n_active,
     CAST(coalesce(ret.n_retained_1h, 0) AS BIGINT) AS n_retained_1h,
     round(coalesce(ret.n_retained_1h, 0) / cnt.n_active, 4) AS retention_1h
 FROM cnt LEFT JOIN ret USING (b)
+""",
+        "conv_features_ext": _conv_features_ext_sql(),
+        "ohlc_hour": f"""{TURNS_CTE}
+SELECT conv_id, strftime(date_trunc('hour', ts), '{TS_FMT}') AS bucket_start,
+    round(arg_min(value, turn_idx), 4) AS open,
+    round(max(value), 4) AS high,
+    round(min(value), 4) AS low,
+    round(arg_max(value, turn_idx), 4) AS close,
+    CAST(count(value) AS BIGINT) AS n_points
+FROM turns GROUP BY conv_id, date_trunc('hour', ts)
+""",
+        "counter_rate_hour": f"""{TURNS_CTE},
+ctr AS (
+    SELECT conv_id, turn_idx, ts,
+        CAST(sum(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) % 50000 AS DOUBLE) AS counter
+    FROM turns
+),
+lagged AS (
+    SELECT *, date_trunc('hour', ts) AS bucket,
+        lag(counter) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev,
+        lag(date_trunc('hour', ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev_bucket,
+        epoch(ts) AS eps
+    FROM ctr
+)
+SELECT conv_id, strftime(bucket, '{TS_FMT}') AS bucket_start,
+    {r("coalesce(sum(CASE WHEN prev IS NOT NULL AND prev_bucket = bucket THEN CASE WHEN counter >= prev THEN counter - prev ELSE counter END END), 0.0)", "increase")},
+    CAST(sum(CASE WHEN prev IS NOT NULL AND prev_bucket = bucket AND counter < prev THEN 1 ELSE 0 END) AS BIGINT) AS num_resets,
+    round(arg_min(counter, turn_idx), 4) AS first_reading,
+    round(arg_max(counter, turn_idx), 4) AS last_reading,
+    {r("coalesce(sum(CASE WHEN prev IS NOT NULL AND prev_bucket = bucket THEN CASE WHEN counter >= prev THEN counter - prev ELSE counter END END), 0.0) / (CASE WHEN max(eps) - min(eps) > 0 THEN max(eps) - min(eps) END)", "rate_per_s")},
+    CAST(count(*) AS BIGINT) AS n_points
+FROM lagged GROUP BY conv_id, bucket
+""",
+        "state_durations": f"""{TURNS_CTE},
+d AS (
+    SELECT conv_id, role AS state,
+        coalesce(lead(epoch(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) - epoch(ts), 0.0) AS dur
+    FROM turns
+)
+SELECT conv_id, state, CAST(count(*) AS BIGINT) AS n_turns,
+    {r("sum(dur)", "total_s")}, {r("max(dur)", "longest_s")}
+FROM d GROUP BY conv_id, state
+""",
+        "heartbeat_uptime": f"""{TURNS_CTE},
+g AS (
+    SELECT conv_id, epoch(ts) AS eps,
+        epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS gap
+    FROM turns
+)
+SELECT conv_id,
+    {r("coalesce(sum(CASE WHEN gap IS NOT NULL THEN least(gap, 60.0) END), 0.0) + 60.0", "uptime_s")},
+    CAST(sum(CASE WHEN gap > 60.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+    {r("max(eps) - min(eps) + 60.0", "span_s")},
+    {r("(coalesce(sum(CASE WHEN gap IS NOT NULL THEN least(gap, 60.0) END), 0.0) + 60.0) / (max(eps) - min(eps) + 60.0)", "uptime_ratio")},
+    CAST(count(*) AS BIGINT) AS n_beats
+FROM g GROUP BY conv_id
 """,
     }

@@ -973,3 +973,51 @@ def q_balanced_panel_check(spark, sf_dir):
     return counts.crossJoin(F.broadcast(panel_max)).withColumn(
         "balanced", (F.col("n_buckets") == F.col("panel_max")).cast("int")
     )
+
+
+# --- §2.5 extended tsfresh dictionary (round 3, features_ext.py) ----------
+
+def q_conv_features_ext(spark, sf_dir):
+    """Whole-series extraction of the EXTENDED tsfresh dictionary
+    (duplicates / reoccurrence, value & range counts, top-|x| mean,
+    symmetry, index mass quantile, rfft k=1, corridor change stats,
+    Levinson-Durbin pacf(2), full linear-trend attrs, q25/q75) over two
+    channels. Same one-exchange shape as the flagship rollup: every
+    helper window and the final groupBy share hashpartitioning on
+    (conv_id, kind)."""
+    from ts_raster_spark.functions.features_ext import rollup_ext_features
+
+    long_df = load_long(spark, sf_dir).where(F.col("kind").isin("text_len", "value"))
+    return finalize(rollup_ext_features(long_df, ["conv_id", "kind"]))
+
+
+# --- timeseries counter/state/heartbeat algebra (operators/timeseries.py) --
+
+def q_ohlc_hour(spark, sf_dir):
+    """Gauge OHLC downsample per (conv, hour) on the value channel."""
+    from ts_raster_spark.operators.timeseries import ohlc
+
+    return finalize(ohlc(load_turns(spark, sf_dir), "value", "hour"))
+
+
+def q_counter_rate_hour(spark, sf_dir):
+    """counter_agg increase/resets/rate per (conv, hour) over the
+    deterministic wrap-at-50k cumulative-text-length counter fixture."""
+    from ts_raster_spark.operators.timeseries import counter_rollup, with_synthetic_counter
+
+    t = with_synthetic_counter(load_turns(spark, sf_dir))
+    return finalize(counter_rollup(t))
+
+
+def q_state_durations(spark, sf_dir):
+    """Time-in-state per (conv, role) — state_agg analog."""
+    from ts_raster_spark.operators.timeseries import state_durations
+
+    return finalize(state_durations(load_turns(spark, sf_dir)))
+
+
+def q_heartbeat_uptime(spark, sf_dir):
+    """Per-conversation liveness from turn heartbeats (60 s tolerance)."""
+    from ts_raster_spark.operators.timeseries import heartbeat_uptime
+
+    return finalize(heartbeat_uptime(load_turns(spark, sf_dir)))
