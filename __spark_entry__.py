@@ -56,15 +56,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's correctness artifact
     records the first 50 entries only, so the first 50 must carry every
-    distinct operator surface. The tail (positions >50) holds
-    redundant-coverage variants whose operators are already attested by
-    an in-window query AND which were driver-green in rounds 1-2; the
-    local gate (tools/check_correctness.py) still runs all of them."""
+    distinct operator surface. Rotation policy (round 3): entries with
+    TWO green driver rows (r1+r2) whose surface is attested by an
+    in-window sibling move to the tail, freeing slots so ops added this
+    round get their first driver attestation. The local gate
+    (tools/check_correctness.py) still runs the full dict at three SFs."""
     return {
         "turns_derivation": Q.q_turns_derivation,
         "long_panel": Q.q_long_panel,
         "rollup_hour_full": Q.q_rollup_hour_full,
-        "rollup_day_full": Q.q_rollup_day_full,
         "conv_features": Q.q_conv_features,
         # Arrow-kernel path: value-checked against a checked-in golden
         # parquet (tools/make_golden_cwt.py — CWT is not SQL-expressible
@@ -77,15 +77,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": Q.q_stratified_sample,
         "moving_quantiles": Q.q_moving_quantiles,
         "feature_relevance_fdr": Q.q_feature_relevance_fdr,
-        "latency_stats_hour": Q.q_latency_stats_hour,
         "role_tool_mix_conv": Q.q_role_tool_mix_conv,
-        "turn_count_hour": Q.q_turn_count_hour,
         "mask_rollup_hour": Q.q_mask_rollup_hour,
         "panel_lag1": Q.q_panel_lag1,
         "cascade_hour_from_minute": Q.q_cascade_hour_from_minute,
         "gapfill_locf_hour": Q.q_gapfill_locf_hour,
         "gapfill_linear_hour": Q.q_gapfill_linear_hour,
-        "gapfill_sentinel_hour": Q.q_gapfill_sentinel_hour,
+        # round-3 promotions: first driver attestation for the extended
+        # calculator dictionary, the counter/state/heartbeat algebra and
+        # the training-pipeline curation ops
+        "conv_features_ext": Q.q_conv_features_ext,
+        "counter_rate_hour": Q.q_counter_rate_hour,
+        "state_durations": Q.q_state_durations,
+        "heartbeat_uptime": Q.q_heartbeat_uptime,
+        "decontaminate": Q.q_decontaminate,
+        "chunk_documents": Q.q_chunk_documents,
+        "pack_documents": Q.q_pack_documents,
+        "curate_corpus": Q.q_curate_corpus,
         # documents / embeddings: training-data pipeline ops
         "dedup_exact": Q.q_dedup_exact,
         "dedup_ngram_jaccard": Q.q_dedup_ngram_jaccard,
@@ -94,7 +102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": Q.q_dedup_components,
         "ann_topk_cosine": Q.q_ann_topk_cosine,
         "ann_signlsh": Q.q_ann_signlsh,
-        "ann_ivf": Q.q_ann_ivf,  # rows-only: k-means not SQL-reproducible
         "dedup_embedding_cosine_blocked": Q.q_dedup_embedding_cosine_blocked,
         "lang_id": Q.q_lang_id,
         "token_stats": Q.q_token_stats,
@@ -104,7 +111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ML-prep tail (sample/split/scale/relevance/combine)
         "train_test_split": Q.q_train_test_split,
         "minmax_scale": Q.q_minmax_scale,
-        "feature_relevance": Q.q_feature_relevance,
         "combine_periods": Q.q_combine_periods,
         "wide_to_long_panel": Q.q_wide_to_long_panel,
         "retention_ttl_hour": Q.q_retention_ttl_hour,
@@ -112,48 +118,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantile_hour": Q.q_sketch_quantile_hour,
         "stream_stateful_counts": Q.q_stream_stateful_counts,
         "late_data_merge_hour": Q.q_late_data_merge_hour,
-        "autocorr_lags": Q.q_autocorr_lags,
-        "feature_names_dim": Q.q_feature_names_dim,
         "balanced_panel_check": Q.q_balanced_panel_check,
         "export_wide_features": Q.q_export_wide_features,
         "asof_join": Q.q_asof_join,
         "session_windows": Q.q_session_windows,
-        # ---- end of driver window (50) — redundant-coverage tail ----
-        # session_windows closes the window; below are variants whose
-        # operator is attested by an in-window query: moving_stats
-        # (frame-spec rolling window → moving_quantiles), sample_turns
-        # (hash sampling → stratified_sample), unmask_conv_counts
-        # (outer-join unmask → gapfill_sentinel), rollup_minute_core
-        # (tier rollup → hour/day), cascade_day_from_minute (tier
-        # algebra → cascade_hour), dedup_embedding_cosine (all-pairs
-        # parity baseline → blocked variant).
+        # ---- end of driver window (50) — attested-elsewhere tail ----
+        # session_windows closes the window. Every tail entry still runs
+        # in the 3-SF local gate; placement here means EITHER the op has
+        # two green driver rows (r1+r2) and an in-window sibling attests
+        # its surface, OR it is a parity/recall baseline: moving_stats
+        # (frame-spec rolling → moving_quantiles), sample_turns (hash
+        # sampling → stratified_sample), unmask_conv_counts (outer-join
+        # unmask → mask_rollup_hour), rollup_minute_core + rollup_day_full
+        # (same 39-agg path → rollup_hour_full), cascade_day_from_minute
+        # (tier algebra → cascade_hour), dedup_embedding_cosine
+        # (all-pairs baseline → blocked), latency_stats_hour +
+        # turn_count_hour (column subsets of rollup_hour_full),
+        # gapfill_sentinel_hour (third branch of the gapfill op),
+        # autocorr_lags (general-lag variant of in-rollup autocorrelation),
+        # feature_names_dim (dim sink), feature_relevance (superseded by
+        # in-window feature_relevance_fdr), ann_ivf (no_oracle by nature —
+        # k-means isn't SQL-reproducible; recall pytest-asserted).
         "moving_stats": Q.q_moving_stats,
         "sample_turns": Q.q_sample_turns,
         "unmask_conv_counts": Q.q_unmask_conv_counts,
         "rollup_minute_core": Q.q_rollup_minute_core,
+        "rollup_day_full": Q.q_rollup_day_full,
         "cascade_day_from_minute": Q.q_cascade_day_from_minute,
         "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
-        # ---- round-3 additions (beyond the 50-row driver window; every
-        # one carries a full value oracle and is attested by the local
-        # gate tools/check_correctness.py + pytest) ----
+        "latency_stats_hour": Q.q_latency_stats_hour,
+        "turn_count_hour": Q.q_turn_count_hour,
+        "gapfill_sentinel_hour": Q.q_gapfill_sentinel_hour,
+        "autocorr_lags": Q.q_autocorr_lags,
+        "feature_names_dim": Q.q_feature_names_dim,
+        "feature_relevance": Q.q_feature_relevance,
+        "ann_ivf": Q.q_ann_ivf,
+        # round-3 ops not yet rotated into the window (full value
+        # oracles, 3-SF local-gate green + pytest)
         "dedup_keep_canonical": Q.q_dedup_keep_canonical,
         "repetition_stats": Q.q_repetition_stats,
         "duplicate_lines": Q.q_duplicate_lines,
-        "decontaminate": Q.q_decontaminate,
         "embedding_quantize": Q.q_embedding_quantize,
         "hll_users_hour": Q.q_hll_users_hour,
-        "curate_corpus": Q.q_curate_corpus,
         "stream_dedup_exact": Q.q_stream_dedup_exact,
-        "chunk_documents": Q.q_chunk_documents,
-        "pack_documents": Q.q_pack_documents,
         "moving_stats_time": Q.q_moving_stats_time,
         "new_convs_hour": Q.q_new_convs_hour,
         "cohort_retention": Q.q_cohort_retention,
-        "conv_features_ext": Q.q_conv_features_ext,
         "ohlc_hour": Q.q_ohlc_hour,
-        "counter_rate_hour": Q.q_counter_rate_hour,
-        "state_durations": Q.q_state_durations,
-        "heartbeat_uptime": Q.q_heartbeat_uptime,
+        "ema_turns": Q.q_ema_turns,
+        "lttb_downsample": Q.q_lttb_downsample,
     }
 
 
@@ -960,4 +973,31 @@ SELECT conv_id,
     CAST(count(*) AS BIGINT) AS n_beats
 FROM g GROUP BY conv_id
 """,
+        # identical arithmetic in identical order to operators/timeseries.ema
+        # (rescaled cumsum closed form), so the 4-dp contract hashes equal
+        "ema_turns": f"""{TURNS_CTE},
+e AS (
+    SELECT conv_id, turn_idx, ts, value,
+        CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) - 1 AS DOUBLE) AS t
+    FROM turns
+),
+s AS (
+    SELECT conv_id, turn_idx, t,
+        sum(value * power(0.7, -t)) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+    FROM e
+)
+SELECT conv_id, turn_idx,
+    {r("(csum * power(0.7, t)) / ((1 - power(0.7, t + 1)) / 0.3)", "ema")}
+FROM s
+""",
+        # lttb: sequential per-series selection, no SQL analog — golden
+        # parquet oracle (tools/make_golden_lttb.py), block keyed by the
+        # events row count like the CWT golden
+        "lttb_downsample": (
+            "SELECT conv_id, turn_idx, ts, round(text_len, 4) AS text_len FROM '"
+            + os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "golden", "lttb_golden.parquet")
+            + "' WHERE n_events = (SELECT count(*) FROM events)"
+        ),
     }

@@ -1,0 +1,71 @@
+"""LTTB selection properties + closed-form EMA vs pandas ewm."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ts_raster_spark.operators.downsample import lttb, lttb_indices
+from ts_raster_spark.operators.timeseries import ema
+
+
+def test_lttb_passthrough_and_endpoints():
+    x = np.arange(10, dtype=float)
+    y = np.random.RandomState(0).normal(size=10)
+    assert list(lttb_indices(x, y, 20)) == list(range(10))  # n <= n_out
+    idx = lttb_indices(np.arange(100, dtype=float), np.random.RandomState(1).normal(size=100), 12)
+    assert len(idx) == 12
+    assert idx[0] == 0 and idx[-1] == 99
+    assert (np.diff(idx) > 0).all()
+
+
+def test_lttb_keeps_spike():
+    """A lone spike dominates its bucket's triangle area."""
+    n = 200
+    y = np.zeros(n)
+    y[137] = 100.0
+    idx = lttb_indices(np.arange(n, dtype=float), y, 10)
+    assert 137 in idx
+
+
+def test_lttb_spark_matches_local(spark, turns_small):
+    t = turns_small.withColumn("text_len", F.length("text").cast("double"))
+    got = (
+        lttb(t, n_out=8, y_col="text_len")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    # local recomputation per conversation
+    pdf = t.select("conv_id", "turn_idx", "ts", "text_len").toPandas()
+    pdf["eps"] = pdf["ts"].astype("int64") / 1e9
+    for conv_id, g in pdf.groupby("conv_id"):
+        g = g.sort_values(["turn_idx", "ts"]).reset_index(drop=True)
+        idx = lttb_indices(g["eps"].to_numpy(), g["text_len"].to_numpy(), 8)
+        want = g.iloc[idx]["turn_idx"].tolist()
+        have = got[got.conv_id == conv_id]["turn_idx"].tolist()
+        assert have == want, conv_id
+
+
+def test_ema_matches_pandas(spark):
+    rng = np.random.RandomState(5)
+    rows = []
+    for conv in ("a", "b"):
+        for i in range(60):
+            rows.append((conv, i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), float(rng.normal())))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp, value double")
+    got = ema(df, alpha=0.3).orderBy("conv_id", "turn_idx").toPandas()
+    for conv in ("a", "b"):
+        x = pd.Series([r[3] for r in rows if r[0] == conv])
+        want = x.ewm(alpha=0.3, adjust=True).mean().to_numpy()
+        have = got[got.conv_id == conv]["ema"].to_numpy()
+        np.testing.assert_allclose(have, want, rtol=1e-9)
+
+
+def test_ema_single_exchange(spark, turns_small):
+    t = turns_small.withColumn("value", F.length("text").cast("double"))
+    plan = ema(t, 0.3)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan

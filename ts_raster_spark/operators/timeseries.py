@@ -147,3 +147,38 @@ def heartbeat_uptime(df: DataFrame, tolerance_s: float = 60.0) -> DataFrame:
         ).alias("uptime_ratio"),
         F.count("*").cast("long").alias("n_beats"),
     )
+
+
+def ema(
+    df: DataFrame,
+    alpha: float = 0.3,
+    value_col: str = "value",
+    keys: tuple[str, ...] = ("conv_id",),
+    out_col: str = "ema",
+) -> DataFrame:
+    """Exponential moving average (pandas ``ewm(alpha).mean()``,
+    adjust=True semantics) as a CLOSED-FORM window expression — no
+    Python, no recursion:
+
+        ema_t = num_t / den_t
+        num_t = (1-a)^t * cumsum_i<=t( x_i * (1-a)^(-i) )
+        den_t = (1 - (1-a)^(t+1)) / a          (geometric series)
+
+    The rescaled cumsum keeps the whole computation inside ONE ordered
+    window over the existing conv_id partitioning.  Numeric range: the
+    rescale term (1-a)^(-i) grows as e^(i*ln(1/(1-a))); for a=0.3 it
+    overflows float64 near i ~ 1900.  Conversations are bounded far
+    below that in this engine's data model (and the wrap is loud — inf,
+    not silent error); for unbounded series use a pandas-ewm
+    ``applyInPandas`` kernel instead (same result, O(n) streaming).
+    DuckDB twin runs the identical arithmetic in the identical order, so
+    the 4-dp contract hashes equal.
+    """
+    a = float(alpha)
+    w = _wo(*keys)
+    t = (F.row_number().over(w) - 1).cast("double")
+    scaled = F.col(value_col) * F.pow(F.lit(1.0 - a), -t)
+    csum = F.sum(scaled).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    num = csum * F.pow(F.lit(1.0 - a), t)
+    den = (1.0 - F.pow(F.lit(1.0 - a), t + 1.0)) / a
+    return df.withColumn(out_col, num / den)

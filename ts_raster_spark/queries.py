@@ -1021,3 +1021,23 @@ def q_heartbeat_uptime(spark, sf_dir):
     from ts_raster_spark.operators.timeseries import heartbeat_uptime
 
     return finalize(heartbeat_uptime(load_turns(spark, sf_dir)))
+
+
+def q_ema_turns(spark, sf_dir):
+    """Closed-form exponential moving average (alpha=0.3, pandas
+    adjust=True semantics) of the value channel per conversation."""
+    from ts_raster_spark.operators.timeseries import ema
+
+    t = ema(load_turns(spark, sf_dir), alpha=0.3, value_col="value")
+    return finalize(t.select("conv_id", "turn_idx", "ema"))
+
+
+def q_lttb_downsample(spark, sf_dir):
+    """LTTB visual downsample of each conversation's text_len series to
+    20 points (operators/downsample.py). Golden-parquet oracle — the
+    selection is sequential per series, not SQL-expressible."""
+    from ts_raster_spark.operators.downsample import lttb
+
+    t = load_turns(spark, sf_dir).withColumn("text_len", F.length("text").cast("double"))
+    out = lttb(t, n_out=20, y_col="text_len")
+    return finalize(out, ts_fmt="yyyy-MM-dd HH:mm:ss.SSSSSS")
