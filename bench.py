@@ -130,6 +130,31 @@ def run(cpus: int, sf_dir: str, n_synth: int, skip_synth: bool = False, reps: in
 
     timed("rollup_hour_full_sf", lambda: _force(rollup_features(to_long_panel(turns_sf), tier="hour")))
 
+    # whole-series extraction with the fused strike/trend/entropy extras
+    # (round 3: join-back shape replaced by shared-exchange window aggs)
+    timed(
+        "conv_features_sf",
+        lambda: _force(
+            rollup_features(
+                to_long_panel(turns_sf).where(F.col("kind") == "text_len"),
+                tier=None,
+                include_strikes=True,
+                include_trend=True,
+                include_entropy=True,
+            )
+        ),
+    )
+
+    # extended tsfresh dictionary (25 calculators, 6 helper windows on
+    # one exchange)
+    def _ext():
+        from ts_raster_spark.functions.features_ext import rollup_ext_features
+
+        long2 = to_long_panel(turns_sf).where(F.col("kind").isin("text_len", "value"))
+        _force(rollup_ext_features(long2, ["conv_id", "kind"]))
+
+    timed("conv_features_ext_sf", _ext)
+
     def _gap():
         long_tl = to_long_panel(turns_sf).where(F.col("kind") == "text_len")
         pts = rollup_simple(long_tl, "hour", aggs={"value": F.avg("value")})

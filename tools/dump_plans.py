@@ -125,6 +125,44 @@ AUDITS = [
         "document text feeds per-stage signal computation only — no "
         "text column crosses an Exchange; no cartesian.",
     ),
+    (
+        "conv_features",
+        Q.q_conv_features,
+        "Fused extras (round 3): strike islands, entropy bins and trend "
+        "chunks are window columns on SUPERSET partitionings of the "
+        "rollup keys + plain aggregates in the one groupBy — no "
+        "join-backs, ONE rollup-key Exchange (was 4 pre-passes + 4 "
+        "joins, ~11x slower).",
+    ),
+    (
+        "conv_features_ext",
+        Q.q_conv_features_ext,
+        "Extended dictionary: 6 helper windows (per-value multiplicity/"
+        "first-occurrence, cumulative |x|, |x| rank, fused corridor "
+        "percentiles) all satisfy their distribution from the ONE "
+        "rollup-key Exchange (subset rule); no expand/gid distinct "
+        "rewrite (reoccurrence stats are first-occurrence sums).",
+    ),
+    (
+        "counter_rate_hour",
+        Q.q_counter_rate_hour,
+        "Counter algebra: cumsum window, lag windows and the bucket "
+        "groupBy all on hashpartitioning(conv_id) — one Exchange, no "
+        "join; bucket membership decided row-local from lagged labels.",
+    ),
+    (
+        "ema_turns",
+        Q.q_ema_turns,
+        "Closed-form EMA: rescaled cumsum inside one ordered window on "
+        "conv_id — zero Python, one Exchange.",
+    ),
+    (
+        "lttb_downsample",
+        Q.q_lttb_downsample,
+        "LTTB kernel: ONE Exchange hashpartitioning(conv_id) into "
+        "FlatMapGroupsInPandas (Arrow batches) — the applyInPandas "
+        "contract for inherently sequential per-series selection.",
+    ),
 ]
 
 

