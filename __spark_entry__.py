@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_hour": Q.q_ohlc_hour,
         "ema_turns": Q.q_ema_turns,
         "lttb_downsample": Q.q_lttb_downsample,
+        "rollup_5min": Q.q_rollup_5min,
+        "top_tools_hour": Q.q_top_tools_hour,
+        "asof_tolerance": Q.q_asof_tolerance,
     }
 
 
@@ -990,6 +993,49 @@ s AS (
 SELECT conv_id, turn_idx,
     {r("(csum * power(0.7, t)) / ((1 - power(0.7, t + 1)) / 0.3)", "ema")}
 FROM s
+""",
+        # independent formulation (correlated min-subqueries), not a
+        # replay of the union-window algorithm
+        "asof_tolerance": f"""{TURNS_CTE},
+pings AS (
+    SELECT conv_id, ts AS ping_ts, tool FROM turns WHERE tool IS NOT NULL
+),
+m AS (
+    SELECT t.conv_id, t.turn_idx, t.ts,
+        (SELECT min(p.ping_ts) FROM pings p
+         WHERE p.conv_id = t.conv_id AND p.ping_ts >= t.ts) AS mts
+    FROM turns t
+)
+SELECT m.conv_id, m.turn_idx,
+    CASE WHEN m.mts IS NOT NULL AND epoch(m.mts) - epoch(m.ts) <= 300.0
+         THEN (SELECT min(p.tool) FROM pings p
+               WHERE p.conv_id = m.conv_id AND p.ping_ts = m.mts)
+    END AS next_tool
+FROM m
+""",
+        "rollup_5min": f"""{TURNS_CTE}
+SELECT conv_id,
+    strftime(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)), '{TS_FMT}') AS bucket_start,
+    CAST(count(*) AS BIGINT) AS turn_count,
+    round(avg(length(text)), 4) AS mean_text_len,
+    round(min(CAST(length(text) AS DOUBLE)), 4) AS min_text_len,
+    round(max(CAST(length(text) AS DOUBLE)), 4) AS max_text_len,
+    {r("sum(CAST(length(text) AS DOUBLE))", "sum_text_len")}
+FROM turns GROUP BY conv_id, floor(epoch(ts) / 300)
+""",
+        "top_tools_hour": f"""{TURNS_CTE},
+counts AS (
+    SELECT date_trunc('hour', ts) AS b, tool, CAST(count(*) AS BIGINT) AS n_calls
+    FROM turns WHERE tool IS NOT NULL GROUP BY 1, 2
+),
+ranked AS (
+    SELECT b, tool, n_calls,
+        row_number() OVER (PARTITION BY b ORDER BY n_calls DESC, tool) AS rank
+    FROM counts
+)
+SELECT strftime(b, '{TS_FMT}') AS bucket_start, tool, n_calls,
+    CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
 """,
         # lttb: sequential per-series selection, no SQL analog — golden
         # parquet oracle (tools/make_golden_lttb.py), block keyed by the

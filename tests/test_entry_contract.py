@@ -48,6 +48,9 @@ ALLOWED_TAIL = {
     "ohlc_hour",
     "ema_turns",
     "lttb_downsample",
+    "rollup_5min",
+    "top_tools_hour",
+    "asof_tolerance",
 }
 
 # operators that were unattested in round 2 precisely because they sat

@@ -19,6 +19,82 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """Left as-of join: attach the nearest right ``value_cols`` per
+    ``key`` — the latest with ``right_ts <= left_ts`` (backward) or the
+    earliest with ``right_ts >= left_ts`` (forward); ``tolerance_s``
+    nulls out matches farther than that many seconds (pandas
+    merge_asof semantics).
+
+    Union-based plan: tag both sides, sort within key by (ts, tag) with
+    the RIGHT side winning timestamp ties in both directions, carry
+    values across with ``last``/``first(ignorenulls)``, keep left rows.
+    Exactly one hash exchange on ``key``; skew on a hot key is bounded
+    by the window sort (salt the key by time bucket if a single key
+    exceeds a task, SURVEY.md §4).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # tie order: the side that must be INSIDE the frame at equal ts
+    # sorts toward the frame. backward frame ends at current row ->
+    # right first (0,1); forward frame starts at current row -> right
+    # after left (left 0, right 1).
+    l_ord, r_ord = (1, 0) if direction == "backward" else (0, 1)
+    l_tag = left.select(
+        F.col(key), F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"), F.lit(l_ord).alias("_ord"),
+        F.lit(None).cast("double").alias("_rt"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*left.columns).alias("_row"),
+    )
+    from ts_raster_spark.operators.longform import epoch_seconds
+
+    r_tag = right.select(
+        F.col(key), F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"), F.lit(r_ord).alias("_ord"),
+        epoch_seconds(F.col(right_ts)).alias("_rt"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"),
+    )
+    u = l_tag.unionByName(r_tag)
+    # total order: several RIGHT rows can share a timestamp; without a
+    # deterministic tiebreak the picked value is partition-layout
+    # dependent. Struct of the value columns breaks the tie (forward
+    # resolves to the smallest value tuple, backward to the largest —
+    # mirrored in oracles). Left rows are unaffected (each is its own
+    # output row).
+    tb = F.struct(*[F.col(f"_r_{c}") for c in value_cols])
+    base = Window.partitionBy(key).orderBy("_t", "_ord", tb)
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    for c in value_cols:
+        u = u.withColumn(f"_r_{c}", pick(f"_r_{c}"))
+    u = u.withColumn("_rt", pick("_rt"))
+    out = u.where(F.col("_side") == 1)
+    if tolerance_s is not None:
+        dist = F.abs(F.col("_rt") - epoch_seconds(F.col("_t")))
+        ok = F.col("_rt").isNotNull() & (dist <= float(tolerance_s))
+        for c in value_cols:
+            out = out.withColumn(f"_r_{c}", F.when(ok, F.col(f"_r_{c}")))
+    return out.select(
+        *[F.col(f"_row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+    )
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,
@@ -27,40 +103,8 @@ def asof_join_backward(
     right_ts: str,
     value_cols: list[str],
 ) -> DataFrame:
-    """Left as-of-backward join: attach the latest right ``value_cols``
-    with ``right_ts <= left_ts`` per ``key``.
-
-    Union-based plan: tag both sides, sort within key by (ts, tag) with
-    the right side winning timestamp ties, carry values forward with
-    ``last(ignorenulls)``, keep left rows. Exactly one hash exchange on
-    ``key``; skew on a hot key is bounded by the window sort (salt the
-    key by time bucket if a single key exceeds a task, SURVEY.md §4).
-    """
-    l_tag = left.select(
-        F.col(key), F.col(left_ts).alias("_t"),
-        F.lit(1).alias("_side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
-        F.struct(*left.columns).alias("_row"),
-    )
-    r_tag = right.select(
-        F.col(key), F.col(right_ts).alias("_t"),
-        F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"),
-    )
-    u = l_tag.unionByName(r_tag)
-    w = (
-        Window.partitionBy(key)
-        .orderBy("_t", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    for c in value_cols:
-        u = u.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
-    out = u.where(F.col("_side") == 1)
-    return out.select(
-        *[F.col(f"_row.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_r_{c}").alias(c) for c in value_cols],
-    )
+    """Backward as-of join (see :func:`asof_join`)."""
+    return asof_join(left, right, key, left_ts, right_ts, value_cols, "backward")
 
 
 def time_weighted_avg_hour(long_df: DataFrame) -> DataFrame:

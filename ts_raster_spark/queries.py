@@ -1041,3 +1041,63 @@ def q_lttb_downsample(spark, sf_dir):
     t = load_turns(spark, sf_dir).withColumn("text_len", F.length("text").cast("double"))
     out = lttb(t, n_out=20, y_col="text_len")
     return finalize(out, ts_fmt="yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+def q_rollup_5min(spark, sf_dir):
+    """Arbitrary-width tumbling buckets (TimescaleDB time_bucket
+    analog): 300-second buckets via epoch floor — the tier system only
+    covers unit widths (minute/hour/day); this is the general form.
+    Pure projection + one hash aggregate."""
+    from ts_raster_spark.operators.longform import epoch_seconds
+
+    t = load_turns(spark, sf_dir)
+    bucket = F.timestamp_seconds(
+        (F.floor(epoch_seconds(F.col("ts")) / 300) * 300).cast("long")
+    )
+    tl = F.length("text").cast("double")
+    out = t.groupBy("conv_id", bucket.alias("bucket_start")).agg(
+        F.count("*").cast("long").alias("turn_count"),
+        F.avg(tl).alias("mean_text_len"),
+        F.min(tl).alias("min_text_len"),
+        F.max(tl).alias("max_text_len"),
+        F.sum(tl).alias("sum_text_len"),
+    )
+    return finalize(out)
+
+
+def q_top_tools_hour(spark, sf_dir):
+    """Top-3 tools per hour by call count (heavy-hitters per bucket):
+    grouped count + dense window rank, deterministic tie-break on tool
+    name. The rank window partitions by the bucket only — fine because
+    tool cardinality per bucket is tiny (the aggregate ran first)."""
+    t = load_turns(spark, sf_dir).where(F.col("tool").isNotNull())
+    counts = t.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start"), "tool"
+    ).agg(F.count("*").cast("long").alias("n_calls"))
+    w = Window.partitionBy("bucket_start").orderBy(
+        F.col("n_calls").desc(), F.col("tool")
+    )
+    out = counts.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= 3
+    )
+    return finalize(out)
+
+
+def q_asof_tolerance(spark, sf_dir):
+    """Forward as-of join with a 300 s tolerance: each turn picks up the
+    value of the conversation's NEXT tool call within 5 minutes (NULL if
+    none) — pandas merge_asof(direction='forward', tolerance) semantics.
+    Oracle is an independent correlated-subquery formulation."""
+    from ts_raster_spark.operators.asof import asof_join
+
+    t = load_turns(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    pings = (
+        load_turns(spark, sf_dir)
+        .where(F.col("tool").isNotNull())
+        .select("conv_id", F.col("ts").alias("ping_ts"), F.col("tool").alias("next_tool"))
+    )
+    out = asof_join(
+        t, pings, key="conv_id", left_ts="ts", right_ts="ping_ts",
+        value_cols=["next_tool"], direction="forward", tolerance_s=300.0,
+    )
+    return finalize(out.select("conv_id", "turn_idx", "next_tool"))
