@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_5min": Q.q_rollup_5min,
         "top_tools_hour": Q.q_top_tools_hour,
         "asof_tolerance": Q.q_asof_tolerance,
+        "sliding_counts": Q.q_sliding_counts,
     }
 
 
@@ -993,6 +994,20 @@ s AS (
 SELECT conv_id, turn_idx,
     {r("(csum * power(0.7, t)) / ((1 - power(0.7, t + 1)) / 0.3)", "ema")}
 FROM s
+""",
+        # every turn belongs to the 4 hour-long windows whose 15-min-
+        # aligned starts fall in (ts - 1h, ts]
+        "sliding_counts": f"""{TURNS_CTE},
+expanded AS (
+    SELECT t.conv_id, t.text,
+        to_timestamp(CAST(floor(epoch(t.ts) / 900) * 900 - k.k * 900 AS BIGINT)) AS window_start
+    FROM turns t CROSS JOIN (SELECT unnest(range(4)) AS k) k
+)
+SELECT strftime(window_start, '{TS_FMT}') AS window_start,
+    CAST(count(*) AS BIGINT) AS n_turns,
+    round(avg(length(text)), 4) AS mean_text_len,
+    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM expanded GROUP BY window_start
 """,
         # independent formulation (correlated min-subqueries), not a
         # replay of the union-window algorithm

@@ -51,6 +51,7 @@ ALLOWED_TAIL = {
     "rollup_5min",
     "top_tools_hour",
     "asof_tolerance",
+    "sliding_counts",
 }
 
 # operators that were unattested in round 2 precisely because they sat

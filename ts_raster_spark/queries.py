@@ -1101,3 +1101,22 @@ def q_asof_tolerance(spark, sf_dir):
         value_cols=["next_tool"], direction="forward", tolerance_s=300.0,
     )
     return finalize(out.select("conv_id", "turn_idx", "next_tool"))
+
+
+def q_sliding_counts(spark, sf_dir):
+    """Hopping-window rollup: 1-hour windows sliding every 15 minutes
+    (each turn lands in 4 overlapping windows). Native F.window
+    generator — the tumbling tier system cannot express overlap; the
+    oracle replays it as an explicit 4-offset window-start expansion."""
+    t = load_turns(spark, sf_dir)
+    w = F.window(F.col("ts"), "1 hour", "15 minutes")
+    out = t.groupBy(w.alias("w")).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.avg(F.length("text").cast("double")).alias("mean_text_len"),
+        F.count_distinct("conv_id").cast("long").alias("n_convs"),
+    )
+    out = out.select(
+        F.col("w.start").alias("window_start"),
+        "n_turns", "mean_text_len", "n_convs",
+    )
+    return finalize(out)
