@@ -153,3 +153,48 @@ def test_ext_plan_single_exchange(spark, turns_small):
     long_df = to_long_panel(turns_small).where(F.col("kind") == "text_len")
     plan = rollup_ext_features(long_df, ["conv_id", "kind"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2, plan  # input derivation + one rollup-key exchange
+
+
+def test_ext_features_randomized_batch(spark):
+    """50 random series (mixed lengths, scales, duplicates, negatives,
+    integer-valued) through ONE Spark round-trip vs the NumPy reference —
+    the cheap randomized sweep that catches corridor/tie/guard bugs the
+    7 crafted fixtures miss."""
+    rng = np.random.RandomState(11)
+    series = {}
+    for i in range(50):
+        n = int(rng.choice([1, 2, 3, 4, 5, 8, 13, 21, 47, 96]))
+        kind = i % 4
+        if kind == 0:
+            arr = rng.normal(scale=10 ** rng.uniform(-2, 4), size=n)
+        elif kind == 1:
+            arr = rng.randint(-3, 4, size=n).astype(float)  # heavy duplicates
+        elif kind == 2:
+            arr = np.full(n, float(rng.randint(-5, 6)))  # constant
+        else:
+            arr = np.round(rng.normal(size=n) * rng.choice([0.5, 100.0]), 2)
+        series[f"r{i:03d}"] = arr
+    rows = []
+    for name, arr in series.items():
+        for j, v in enumerate(arr):
+            rows.append(
+                (name, "chan", j,
+                 (pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=j)).to_pydatetime(),
+                 float(v))
+            )
+    df = spark.createDataFrame(
+        rows, "conv_id string, kind string, turn_idx int, ts timestamp, value double"
+    )
+    got = rollup_ext_features(df, ["conv_id", "kind"]).toPandas().set_index("conv_id")
+    bad = []
+    for name, arr in series.items():
+        want = np_ext_features(arr)
+        g = got.loc[name]
+        for feat, expect in want.items():
+            have = g[feat]
+            if isinstance(expect, float) and np.isnan(expect):
+                if not (have is None or (isinstance(have, float) and np.isnan(have))):
+                    bad.append((name, feat, have, "NaN"))
+            elif not have == pytest.approx(expect, rel=1e-7, abs=1e-7):
+                bad.append((name, feat, have, expect))
+    assert not bad, bad[:10]
