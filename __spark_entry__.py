@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tools_hour": Q.q_top_tools_hour,
         "asof_tolerance": Q.q_asof_tolerance,
         "sliding_counts": Q.q_sliding_counts,
+        "stream_sliding_counts": Q.q_stream_sliding_counts,
     }
 
 
@@ -994,6 +995,21 @@ s AS (
 SELECT conv_id, turn_idx,
     {r("(csum * power(0.7, t)) / ((1 - power(0.7, t + 1)) / 0.3)", "ema")}
 FROM s
+""",
+        # same 4-offset expansion as sliding_counts minus the distinct
+        # (streaming aggregations cannot COUNT(DISTINCT)); equality
+        # proves stream/batch parity of the HOP window path
+        "stream_sliding_counts": f"""{TURNS_CTE},
+expanded AS (
+    SELECT t.text,
+        to_timestamp(CAST(floor(epoch(t.ts) / 900) * 900 - k.k * 900 AS BIGINT)) AS window_start
+    FROM turns t CROSS JOIN (SELECT unnest(range(4)) AS k) k
+)
+SELECT strftime(window_start, '{TS_FMT}') AS window_start,
+    CAST(count(*) AS BIGINT) AS n_turns,
+    round(avg(length(text)), 4) AS mean_text_len,
+    {r("sum(CAST(length(text) AS DOUBLE))", "sum_text_len")}
+FROM expanded GROUP BY window_start
 """,
         # every turn belongs to the 4 hour-long windows whose 15-min-
         # aligned starts fall in (ts - 1h, ts]

@@ -52,6 +52,7 @@ ALLOWED_TAIL = {
     "top_tools_hour",
     "asof_tolerance",
     "sliding_counts",
+    "stream_sliding_counts",
 }
 
 # operators that were unattested in round 2 precisely because they sat

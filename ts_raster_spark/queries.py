@@ -1120,3 +1120,31 @@ def q_sliding_counts(spark, sf_dir):
         "n_turns", "mean_text_len", "n_convs",
     )
     return finalize(out)
+
+
+def q_stream_sliding_counts(spark, sf_dir):
+    """Hopping-window rollup through Structured Streaming (file source →
+    sliding window agg → memory sink, availableNow): stream/batch parity
+    for OVERLAPPING windows — the tumbling stream query can't attest the
+    hop path."""
+    import hashlib
+    import os as _os
+
+    from ts_raster_spark.streaming.rollup_stream import (
+        run_to_memory,
+        stream_sliding,
+        stream_turns,
+    )
+
+    turns = load_turns(spark, sf_dir)
+    tag = hashlib.md5((sf_dir + "slide").encode()).hexdigest()[:8]
+    root = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".bench_tmp")
+    _os.makedirs(root, exist_ok=True)
+    path = _os.path.join(root, f"tsrs_slide_in_{tag}")
+    turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts").write.mode(
+        "overwrite"
+    ).parquet(path)
+    rolled = stream_sliding(stream_turns(spark, path))
+    name = f"tsrs_slide_mem_{tag}"
+    run_to_memory(rolled, name, "complete")
+    return finalize(spark.table(name))

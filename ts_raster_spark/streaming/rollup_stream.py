@@ -142,3 +142,26 @@ def run_to_memory(sdf: DataFrame, query_name: str, output_mode: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def stream_sliding(
+    turns_stream: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping-window continuous aggregate: each turn contributes to
+    duration/slide overlapping windows (Structured Streaming's native
+    sliding ``window(ts, duration, slide)``). COUNT(DISTINCT) is not
+    available in streaming aggregations, so the hop rollup carries
+    count/mean/sum only — the batch twin proves parity."""
+    return (
+        turns_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.avg(F.length("text").cast("double")).alias("mean_text_len"),
+            F.sum(F.length("text").cast("double")).alias("sum_text_len"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_turns", "mean_text_len", "sum_text_len")
+    )
