@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": Q.q_asof_tolerance,
         "sliding_counts": Q.q_sliding_counts,
         "stream_sliding_counts": Q.q_stream_sliding_counts,
+        "stream_session_windows": Q.q_stream_session_windows,
     }
 
 
@@ -995,6 +996,29 @@ s AS (
 SELECT conv_id, turn_idx,
     {r("(csum * power(0.7, t)) / ((1 - power(0.7, t + 1)) / 0.3)", "ema")}
 FROM s
+""",
+        # batch gaps-and-islands sessions (30 min inactivity gap) —
+        # equality proves the streaming EventTimeTimeout stateful
+        # operator reproduces batch session semantics exactly
+        "stream_session_windows": f"""{TURNS_CTE},
+flagged AS (
+    SELECT conv_id, ts,
+        CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts)) > 1800
+             OR lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+    FROM turns
+),
+islands AS (
+    SELECT conv_id, ts,
+        sum(is_new) OVER (PARTITION BY conv_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+    FROM flagged
+)
+SELECT conv_id,
+    strftime(min(ts), '{TS_FMT_US}') AS session_start,
+    strftime(max(ts), '{TS_FMT_US}') AS session_end,
+    CAST(count(*) AS BIGINT) AS n_turns
+FROM islands GROUP BY conv_id, sess
 """,
         # same 4-offset expansion as sliding_counts minus the distinct
         # (streaming aggregations cannot COUNT(DISTINCT)); equality

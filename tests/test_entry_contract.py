@@ -53,6 +53,7 @@ ALLOWED_TAIL = {
     "asof_tolerance",
     "sliding_counts",
     "stream_sliding_counts",
+    "stream_session_windows",
 }
 
 # operators that were unattested in round 2 precisely because they sat

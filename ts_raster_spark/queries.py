@@ -1148,3 +1148,39 @@ def q_stream_sliding_counts(spark, sf_dir):
     name = f"tsrs_slide_mem_{tag}"
     run_to_memory(rolled, name, "complete")
     return finalize(spark.table(name))
+
+
+def q_stream_session_windows(spark, sf_dir):
+    """Session windows computed by the STREAMING stateful operator
+    (applyInPandasWithState + EventTimeTimeout): every session must
+    close, so the input carries one far-future flush row whose watermark
+    advance fires all pending event-time timeouts (Spark's no-data
+    micro-batch). Oracle = batch gaps-and-islands sessions over the same
+    turns — equality proves the custom stateful path agrees with batch
+    semantics exactly."""
+    import hashlib
+    import os as _os
+
+    from ts_raster_spark.streaming.rollup_stream import (
+        run_to_memory,
+        stateful_session_windows,
+        stream_turns,
+    )
+
+    turns = load_turns(spark, sf_dir)
+    flush = spark.sql(
+        "SELECT '~flush' AS conv_id, 0 AS turn_idx, 'system' AS role, "
+        "'' AS text, CAST(NULL AS STRING) AS tool, "
+        "timestamp'2099-01-01 00:00:00' AS ts"
+    )
+    inp = turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts").unionByName(flush)
+    tag = hashlib.md5((sf_dir + "sess").encode()).hexdigest()[:8]
+    root = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".bench_tmp")
+    _os.makedirs(root, exist_ok=True)
+    path = _os.path.join(root, f"tsrs_sess_in_{tag}")
+    inp.write.mode("overwrite").parquet(path)
+    sessions = stateful_session_windows(stream_turns(spark, path))
+    name = f"tsrs_sess_mem_{tag}"
+    run_to_memory(sessions, name, "append")
+    out = spark.table(name).where(F.col("conv_id") != "~flush")
+    return finalize(out, ts_fmt="yyyy-MM-dd HH:mm:ss.SSSSSS")

@@ -165,3 +165,76 @@ def stream_sliding(
         )
         .select(F.col("w.start").alias("window_start"), "n_turns", "mean_text_len", "sum_text_len")
     )
+
+
+_SESSION_OUT = "conv_id string, session_start timestamp, session_end timestamp, n_turns long"
+_SESSION_STATE = "start_us long, last_us long, n long"
+_SESSION_GAP_US = 1800 * 1_000_000
+
+
+def _session_fn(
+    key, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Event-time-timeout sessionizer: a conversation's open session
+    closes (and emits) either when a later turn arrives past the gap, or
+    when the WATERMARK passes last_turn + gap (state.hasTimedOut) — the
+    bounded-state guarantee: no conversation holds state past gap beyond
+    the watermark horizon."""
+    (conv_id,) = key
+
+    def _emit(rows):
+        return pd.DataFrame(
+            {
+                "conv_id": [conv_id] * len(rows),
+                "session_start": [pd.Timestamp(r[0], unit="us") for r in rows],
+                "session_end": [pd.Timestamp(r[1], unit="us") for r in rows],
+                "n_turns": [r[2] for r in rows],
+            }
+        )
+
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield _emit([(start_us, last_us, n)])
+        return
+    pdfs = list(batches)
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True).sort_values(["turn_idx", "ts"])
+    ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    start_us, last_us, n = state.get if state.exists else (None, None, 0)
+    closed = []
+    for t in ts_us:
+        t = int(t)
+        if last_us is None:
+            start_us, last_us, n = t, t, 1
+        elif t - last_us > _SESSION_GAP_US:
+            closed.append((start_us, last_us, n))
+            start_us, last_us, n = t, t, 1
+        else:
+            last_us, n = t, n + 1
+    state.update((start_us, last_us, n))
+    # close the open session once the event-time watermark passes it
+    state.setTimeoutTimestamp((last_us + _SESSION_GAP_US) // 1000)
+    if closed:
+        yield _emit(closed)
+
+
+def stateful_session_windows(turns_stream: DataFrame, watermark: str = "1 second") -> DataFrame:
+    """Streaming session windows via applyInPandasWithState +
+    EventTimeTimeout (the custom stateful operator the built-in
+    ``session_window`` aggregation generalizes from). Emits one row per
+    CLOSED session; open sessions flush when the final watermark passes
+    them (Spark's no-data micro-batch fires the pending timeouts)."""
+    return (
+        turns_stream.select("conv_id", "turn_idx", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
