@@ -42,3 +42,34 @@ def test_energy_ratio_chunks():
     assert energy_ratio_by_chunks(x, 10, 5) == pytest.approx(0.0)
     y = np.ones(100)
     assert energy_ratio_by_chunks(y, 10, 3) == pytest.approx(0.1)
+
+
+def test_fft_aggregated_spectral_moments():
+    from ts_raster_spark.functions.oracle import (
+        fft_aggregated_centroid,
+        fft_aggregated_kurtosis,
+        fft_aggregated_skew,
+        fft_aggregated_variance,
+    )
+
+    n = 256
+    t = np.arange(n)
+    # pure cosine at bin k -> spectral mass concentrated at index k
+    # (plus the DC leakage-free case): centroid ~= k, tiny variance
+    for k in (8, 32):
+        x = np.cos(2 * np.pi * k * t / n)
+        assert fft_aggregated_centroid(x) == pytest.approx(k, abs=1e-6)
+        assert fft_aggregated_variance(x) == pytest.approx(0.0, abs=1e-6)
+    # white noise spreads mass: centroid near the middle of [0, n/2]
+    rng = np.random.RandomState(0)
+    xn = rng.normal(size=n)
+    c = fft_aggregated_centroid(xn)
+    assert 0.25 * (n / 2) < c < 0.75 * (n / 2)
+    assert fft_aggregated_variance(xn) > 100
+    # skew/kurt finite on noise, NaN on degenerate (constant) spectrum
+    assert np.isfinite(fft_aggregated_skew(xn))
+    assert np.isfinite(fft_aggregated_kurtosis(xn))
+    const = np.full(64, 3.0)  # all mass at DC -> var 0 -> NaN
+    assert np.isnan(fft_aggregated_skew(const))
+    # empty / zero series carries no spectral mass
+    assert np.isnan(fft_aggregated_centroid(np.zeros(32)))

@@ -317,7 +317,61 @@ def energy_ratio_by_chunks(x, num_segments: int = 10, segment_focus: int = 0):
     return float(np.sum(chunk * chunk) / full)
 
 
+def _spectral_moments(x: np.ndarray) -> tuple[float, float, float, float] | None:
+    """Moments of the |rfft| magnitude spectrum over the bin index
+    (tsfresh ``fft_aggregated`` family): m_k = sum(y_i * i^k) / sum(y_i).
+    None when the spectrum carries no mass."""
+    y = np.abs(np.fft.rfft(np.asarray(x, dtype=np.float64)))
+    s = y.sum()
+    if not np.isfinite(s) or s <= 0:
+        return None
+    i = np.arange(len(y), dtype=np.float64)
+    m1 = float((y * i).sum() / s)
+    m2 = float((y * i**2).sum() / s)
+    m3 = float((y * i**3).sum() / s)
+    m4 = float((y * i**4).sum() / s)
+    return m1, m2, m3, m4
+
+
+def fft_aggregated_centroid(x: np.ndarray) -> float:
+    m = _spectral_moments(x)
+    return np.nan if m is None else m[0]
+
+
+def fft_aggregated_variance(x: np.ndarray) -> float:
+    m = _spectral_moments(x)
+    return np.nan if m is None else m[1] - m[0] ** 2
+
+
+def fft_aggregated_skew(x: np.ndarray) -> float:
+    """Standardized 3rd central moment of the spectrum:
+    (m3 - 3*m1*var - m1^3) / var^1.5; NaN on a (near-)degenerate
+    spectrum."""
+    m = _spectral_moments(x)
+    if m is None:
+        return np.nan
+    var = m[1] - m[0] ** 2
+    if var <= 1e-12:
+        return np.nan
+    return (m[2] - 3 * m[0] * var - m[0] ** 3) / var**1.5
+
+
+def fft_aggregated_kurtosis(x: np.ndarray) -> float:
+    """(m4 - 4*m1*m3 + 6*m2*m1^2 - 3*m1^4) / var^2 (non-excess)."""
+    m = _spectral_moments(x)
+    if m is None:
+        return np.nan
+    var = m[1] - m[0] ** 2
+    if var <= 1e-12:
+        return np.nan
+    return (m[3] - 4 * m[0] * m[2] + 6 * m[1] * m[0] ** 2 - 3 * m[0] ** 4) / var**2
+
+
 ORACLES = {
+    "fft_aggregated_centroid": fft_aggregated_centroid,
+    "fft_aggregated_variance": fft_aggregated_variance,
+    "fft_aggregated_skew": fft_aggregated_skew,
+    "fft_aggregated_kurtosis": fft_aggregated_kurtosis,
     "benford_correlation": benford_correlation,
     "lempel_ziv_complexity_b10": lambda x: lempel_ziv_complexity(x, 10),
     "energy_ratio_chunk0_of10": lambda x: energy_ratio_by_chunks(x, 10, 0),
