@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_counts": Q.q_sliding_counts,
         "stream_sliding_counts": Q.q_stream_sliding_counts,
         "stream_session_windows": Q.q_stream_session_windows,
+        "anomaly_turns": Q.q_anomaly_turns,
     }
 
 
@@ -996,6 +997,18 @@ s AS (
 SELECT conv_id, turn_idx,
     {r("(csum * power(0.7, t)) / ((1 - power(0.7, t + 1)) / 0.3)", "ema")}
 FROM s
+""",
+        "anomaly_turns": f"""{TURNS_CTE},
+z AS (
+    SELECT conv_id, turn_idx, value,
+        CASE WHEN stddev_pop(value) OVER (PARTITION BY conv_id) > 0
+             THEN (value - avg(value) OVER (PARTITION BY conv_id))
+                  / stddev_pop(value) OVER (PARTITION BY conv_id)
+        END AS zscore
+    FROM turns
+)
+SELECT conv_id, turn_idx, {r('value', 'value')}, round(zscore, 4) AS zscore
+FROM z WHERE abs(zscore) > 2.5
 """,
         # batch gaps-and-islands sessions (30 min inactivity gap) —
         # equality proves the streaming EventTimeTimeout stateful

@@ -54,6 +54,7 @@ ALLOWED_TAIL = {
     "sliding_counts",
     "stream_sliding_counts",
     "stream_session_windows",
+    "anomaly_turns",
 }
 
 # operators that were unattested in round 2 precisely because they sat

@@ -1184,3 +1184,19 @@ def q_stream_session_windows(spark, sf_dir):
     run_to_memory(sessions, name, "append")
     out = spark.table(name).where(F.col("conv_id") != "~flush")
     return finalize(out, ts_fmt="yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+def q_anomaly_turns(spark, sf_dir):
+    """Per-conversation z-score outliers on the value channel: turns
+    with |x - mu| > 2.5*sigma_pop (monitoring-style anomaly flags). One
+    stats window + filter on the conv_id partitioning."""
+    t = load_turns(spark, sf_dir)
+    w = Window.partitionBy("conv_id")
+    mu = F.avg("value").over(w)
+    sig = F.stddev_pop("value").over(w)
+    out = (
+        t.withColumn("_z", F.when(sig > 0, (F.col("value") - mu) / sig))
+        .where(F.abs(F.col("_z")) > 2.5)
+        .select("conv_id", "turn_idx", "value", F.col("_z").alias("zscore"))
+    )
+    return finalize(out)
