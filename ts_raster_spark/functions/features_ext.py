@@ -296,15 +296,6 @@ def ext_feature_aggs() -> dict[str, Column]:
     return aggs
 
 
-EXT_INT_FEATURES = {
-    "has_duplicate",
-    "has_duplicate_max",
-    "has_duplicate_min",
-    "value_count_0",
-    "range_count_m1_1",
-    "symmetry_looking_r25",
-}
-
 
 def rollup_ext_features(
     long_df: DataFrame, keys: list[str], order_cols=ORDER_COLS
