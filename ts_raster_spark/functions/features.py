@@ -318,11 +318,20 @@ def location_aggs() -> dict[str, Column]:
 
 
 def large_standard_deviation_aggs(rs=(0.25,)) -> dict[str, Column]:
-    """sigma_pop > r * (max - min) — examples/calculateFeatures.ipynb."""
+    """sigma_pop > r * (max - min) — examples/calculateFeatures.ipynb.
+
+    The comparison goes through ``round(sigma - r*range, 9) > 0``: when
+    the data makes the two sides EXACTLY equal (e.g. sigma = 0.5 on a
+    50-point 3-value series with range 2), each engine's aggregation
+    order leaves different +-1e-16 dust on sigma and a strict ``>``
+    splits across engines. Quantizing the difference snaps true
+    equality to 0 on both sides — which is also the correct strict-``>``
+    answer. Mirrored in the DuckDB twin."""
     out = {}
     for r in rs:
+        diff = F.stddev_pop(V) - F.lit(float(r)) * (F.max(V) - F.min(V))
         out[f"large_standard_deviation_r{str(r).replace('0.', '')}"] = (
-            F.stddev_pop(V) > F.lit(float(r)) * (F.max(V) - F.min(V))
+            F.round(diff, 9) > 0
         ).cast("long")
     return out
 

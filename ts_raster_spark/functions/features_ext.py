@@ -150,14 +150,15 @@ def mean_n_absolute_max_agg(n_maxima: int = 3) -> dict[str, Column]:
 
 
 def symmetry_looking_agg(r: float = 0.25) -> dict[str, Column]:
-    """|mean - median| < r * (max - min), as 0/1."""
+    """|mean - median| < r * (max - min), as 0/1.  Same quantized-
+    difference boundary contract as large_standard_deviation (strict
+    comparisons on exactly-equal sides must not split across engines'
+    aggregation dust)."""
     name = f"symmetry_looking_r{str(r).replace('0.', '')}"
-    return {
-        name: (
-            F.abs(F.avg(F.col(V)) - F.expr(f"percentile({V}, 0.5)"))
-            < F.lit(float(r)) * (F.max(V) - F.min(V))
-        ).cast("long")
-    }
+    diff = F.lit(float(r)) * (F.max(V) - F.min(V)) - F.abs(
+        F.avg(F.col(V)) - F.expr(f"percentile({V}, 0.5)")
+    )
+    return {name: (F.round(diff, 9) > 0).cast("long")}
 
 
 def index_mass_quantile_agg(q: float = 0.5) -> dict[str, Column]:

@@ -122,7 +122,10 @@ CORE_EXPRS = {
     ),
     "ratio_beyond_r_sigma_r2": "avg(CASE WHEN abs(value - mu) > 2 * sigma THEN 1.0 ELSE 0.0 END)",
     "ratio_beyond_r_sigma_r3": "avg(CASE WHEN abs(value - mu) > 3 * sigma THEN 1.0 ELSE 0.0 END)",
-    "large_standard_deviation_r25": "CAST(stddev_pop(value) > 0.25 * (max(value) - min(value)) AS INTEGER)",
+    # quantized-difference boundary contract (see features.large_standard_deviation_aggs)
+    "large_standard_deviation_r25": (
+        "CAST(round(stddev_pop(value) - 0.25 * (max(value) - min(value)), 9) > 0 AS INTEGER)"
+    ),
     "mean_abs_change": "avg(abs(value - lag1))",
     "mean_second_derivative_central": "avg((value - 2 * lag1 + lag2) / 2.0)",
     "autocorrelation_lag1": (
