@@ -275,6 +275,25 @@ def main():
     if args.clean and os.path.exists(BENCH_TMP):
         shutil.rmtree(BENCH_TMP)
     out = run(args.cpus, args.sf_dir, args.synth_turns, args.skip_synth, reps=args.reps)
+    # Output contract (round 4): the driver keeps only a stdout TAIL, so the
+    # printed JSON must stay compact — r3's single line embedded the full
+    # scaling-evidence artifacts and outgrew the capture (BENCH_r03.json
+    # "parsed": null). Full meta (scaling evidence, provenance notes) goes to
+    # BENCH/bench_meta_r{N}.json instead; the LAST stdout line is the compact
+    # headline only.
+    meta = out.pop("meta", {})
+    # keep the three baseline-comparison scalars in the parsed artifact
+    for k in ("synth_turns_per_sec", "synth_values_per_sec", "reference_values_per_sec"):
+        if k in meta:
+            out[k] = meta[k]
+    meta["headline"] = out
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "latest")
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    meta_path = os.path.join(bench_dir, f"bench_meta_r{rnd}.json")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh, indent=1, sort_keys=True)
+    sys.stderr.write(f"full meta -> {meta_path}\n")
     print(json.dumps(out))
 
 

@@ -155,30 +155,73 @@ def ema(
     value_col: str = "value",
     keys: tuple[str, ...] = ("conv_id",),
     out_col: str = "ema",
+    max_closed_form_n: int = 1000,
 ) -> DataFrame:
     """Exponential moving average (pandas ``ewm(alpha).mean()``,
-    adjust=True semantics) as a CLOSED-FORM window expression — no
-    Python, no recursion:
+    adjust=True semantics).  Two physical paths, routed per GROUP by
+    series length so the result is always finite:
 
-        ema_t = num_t / den_t
-        num_t = (1-a)^t * cumsum_i<=t( x_i * (1-a)^(-i) )
-        den_t = (1 - (1-a)^(t+1)) / a          (geometric series)
+    - groups with ≤ ``max_closed_form_n`` rows (the overwhelming
+      majority at any scale): a CLOSED-FORM window expression — no
+      Python, no recursion:
 
-    The rescaled cumsum keeps the whole computation inside ONE ordered
-    window over the existing conv_id partitioning.  Numeric range: the
-    rescale term (1-a)^(-i) grows as e^(i*ln(1/(1-a))); for a=0.3 it
-    overflows float64 near i ~ 1900.  Conversations are bounded far
-    below that in this engine's data model (and the wrap is loud — inf,
-    not silent error); for unbounded series use a pandas-ewm
-    ``applyInPandas`` kernel instead (same result, O(n) streaming).
-    DuckDB twin runs the identical arithmetic in the identical order, so
-    the 4-dp contract hashes equal.
+          ema_t = num_t / den_t
+          num_t = (1-a)^t * cumsum_i<=t( x_i * (1-a)^(-i) )
+          den_t = (1 - (1-a)^(t+1)) / a          (geometric series)
+
+      The rescaled cumsum keeps the whole computation inside ONE
+      ordered window over the existing conv_id partitioning.  Numeric
+      range bounds the path: the rescale term (1-a)^(-i) grows as
+      e^(i*ln(1/(1-a))) and overflows float64 near i ~ 1900 for a=0.3,
+      hence the routing threshold (1000 leaves >2x headroom down to
+      a ~ 0.17; for smaller alphas pass a lower threshold).
+
+    - longer groups (mega-conversations): an O(n) streaming pandas-ewm
+      ``applyInPandas`` kernel — Arrow-batched, one group per call,
+      exact ``ewm(alpha, adjust=True).mean()`` semantics, finite for
+      any length.
+
+    Routing is a broadcast semi/anti join on the mega-group KEYS, not a
+    count window: the per-key counts aggregate map-side-combines to one
+    tiny shuffle, the >threshold key set (rare by construction — these
+    are the outlier conversations) broadcasts, and only the short
+    branch re-shuffles the bulk of the data for its ordered window.  A
+    count-window route would shuffle the FULL input once per branch.
+    DuckDB twin runs the identical closed-form arithmetic in the
+    identical order (gate conversations are far below the threshold),
+    so the normalization contract hashes equal.
     """
     a = float(alpha)
+    klist = list(keys)
+    mega_keys = (
+        df.groupBy(*klist)
+        .agg(F.count("*").alias("_gn"))
+        .where(F.col("_gn") > int(max_closed_form_n))
+        .select(*klist)
+    )
+    # short path: closed form, pure Catalyst
     w = _wo(*keys)
     t = (F.row_number().over(w) - 1).cast("double")
     scaled = F.col(value_col) * F.pow(F.lit(1.0 - a), -t)
     csum = F.sum(scaled).over(w.rowsBetween(Window.unboundedPreceding, 0))
     num = csum * F.pow(F.lit(1.0 - a), t)
     den = (1.0 - F.pow(F.lit(1.0 - a), t + 1.0)) / a
-    return df.withColumn(out_col, num / den)
+    short = df.join(F.broadcast(mega_keys), klist, "left_anti").withColumn(out_col, num / den)
+    # long path: streaming pandas ewm kernel (adjust=True recursion:
+    # num_t = x_t + (1-a)*num_{t-1}; den_t = 1 + (1-a)*den_{t-1})
+    import pandas as pd  # noqa: F401  (baked in; Arrow batch transfer)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType())])
+    order_cols = [c for c in ORDER if c in df.columns] or klist
+    in_cols = list(df.columns)
+
+    def _ewm_kernel(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf = pdf[in_cols].copy()
+        pdf[out_col] = pdf[value_col].ewm(alpha=a, adjust=True).mean()
+        return pdf
+
+    long_rows = df.join(F.broadcast(mega_keys), klist, "left_semi")
+    long_out = long_rows.groupBy(*klist).applyInPandas(_ewm_kernel, schema=out_schema)
+    return short.unionByName(long_out)
