@@ -1008,22 +1008,25 @@ z AS (
     FROM turns
 )
 SELECT conv_id, turn_idx, {r('value', 'value')}, round(zscore, 4) AS zscore
-FROM z WHERE abs(zscore) > 2.5
+FROM z WHERE round(abs(zscore) - 2.5, 9) > 0
 """,
         # batch gaps-and-islands sessions (30 min inactivity gap) —
         # equality proves the streaming EventTimeTimeout stateful
         # operator reproduces batch session semantics exactly
         "stream_session_windows": f"""{TURNS_CTE},
 flagged AS (
-    SELECT conv_id, ts,
+    SELECT conv_id, turn_idx, ts,
         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts)) > 1800
              OR lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) IS NULL
              THEN 1 ELSE 0 END AS is_new
     FROM turns
 ),
 islands AS (
+    -- cumsum window MUST order by (turn_idx, ts) like the flag window:
+    -- ts-only ordering could place a tied-timestamp row before its
+    -- session's is_new=1 row and split the session (round-3 advisor)
     SELECT conv_id, ts,
-        sum(is_new) OVER (PARTITION BY conv_id ORDER BY ts
+        sum(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
     FROM flagged
 )

@@ -78,3 +78,32 @@ def test_right_timestamp_ties_are_deterministic(spark):
         left, right, "conv_id", "ts", "rts", ["v"], "backward").collect()}
     assert fwd[0] == 3.0  # first right row in total order
     assert bwd[1] == 5.0  # last right row in total order
+
+
+def test_null_value_in_matched_row_attaches_as_null(spark):
+    """Round-4 fix (r3 advisor): a NULL value column in the MATCHED
+    right row must attach as NULL (merge_asof semantics), not be
+    back-filled from a farther row by a per-column ignorenulls pick —
+    and the tolerance gate must judge the same row the values came
+    from."""
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [("c", 0, t0 + dt.timedelta(seconds=100))],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("c", t0, 1.0, 10.0),                            # farther row, both cols set
+            ("c", t0 + dt.timedelta(seconds=90), 2.0, None),  # nearest row, b is NULL
+        ],
+        "conv_id string, rts timestamp, a double, b double",
+    )
+    got = asof_join(left, right, "conv_id", "ts", "rts", ["a", "b"], "backward").collect()[0]
+    assert got["a"] == 2.0
+    assert got["b"] is None  # NOT 10.0 from the farther row
+    # with a tolerance that admits the nearest row but not the farther
+    # one, values still come from the nearest row only
+    got_tol = asof_join(
+        left, right, "conv_id", "ts", "rts", ["a", "b"], "backward", tolerance_s=30.0
+    ).collect()[0]
+    assert got_tol["a"] == 2.0 and got_tol["b"] is None

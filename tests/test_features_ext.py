@@ -198,3 +198,65 @@ def test_ext_features_randomized_batch(spark):
             elif not have == pytest.approx(expect, rel=1e-7, abs=1e-7):
                 bad.append((name, feat, have, expect))
     assert not bad, bad[:10]
+
+
+def test_boundary_contract_scale_relative(spark):
+    """Round-4 fix (r3 advisor, medium): the strict-comparison boundary
+    contract quantizes the RATIO diff/greatest(side_a, side_b), not the
+    absolute difference, so it holds at every value magnitude:
+
+    - |x| ~ 1e-9: genuine strict inequalities must NOT round to 0
+      (the old round(diff, 9) returned 0 for x=[0,1e-9,2e-9]);
+    - |x| ~ 1e6: true equalities must snap to 0 even though the
+      engines' aggregation dust is ~1e-4 absolute;
+    - Spark agg and DuckDB twin agree in all cases.
+    """
+    import duckdb
+
+    from ts_raster_spark.functions.features import large_standard_deviation_aggs
+    from ts_raster_spark.functions.features_ext import symmetry_looking_agg
+    from ts_raster_spark.sql.duck_features import CORE_EXPRS
+    from ts_raster_spark.sql.duck_features_ext import EXT_EXPRS
+
+    groups = {
+        "tiny_strict": [0.0, 1e-9, 2e-9],          # sigma=8.2e-10 > 5e-10 -> 1
+        "huge_strict": [0.0, 1e6, 2e6],            # clear 1
+        "tiny_equal": [v * 1e-9 for v in [0, 1, 1, 1, 1, 1, 1, 2]],  # sigma==bound -> 0
+        "huge_equal": [v * 1e6 for v in [0, 1, 1, 1, 1, 1, 1, 2]],   # sigma==bound -> 0
+        "plain": [1.0, 2.0, 2.0, 3.0, 9.0],
+    }
+    rows = [(g, float(v)) for g, xs in groups.items() for v in xs]
+    pdf = pd.DataFrame(rows, columns=["g", "value"])
+    df = spark.createDataFrame(pdf)
+
+    aggs = dict(large_standard_deviation_aggs())
+    aggs.update(symmetry_looking_agg())
+    got = (
+        df.groupBy("g")
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .toPandas()
+        .set_index("g")
+        .sort_index()
+    )
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck = con.sql(
+        f"SELECT g, {CORE_EXPRS['large_standard_deviation_r25']} AS large_standard_deviation_r25, "
+        f"{EXT_EXPRS['symmetry_looking_r25']} AS symmetry_looking_r25 "
+        "FROM t GROUP BY g ORDER BY g"
+    ).df().set_index("g")
+
+    for g, xs in groups.items():
+        x = np.asarray(xs)
+        sigma, rng = np.std(x), x.max() - x.min()
+        if abs(sigma - 0.25 * rng) > 1e-6 * max(sigma, 0.25 * rng):
+            want_lsd = int(sigma > 0.25 * rng)  # plain NumPy, off-boundary
+            assert got.loc[g, "large_standard_deviation_r25"] == want_lsd, g
+        else:
+            assert got.loc[g, "large_standard_deviation_r25"] == 0, g  # equality -> strict false
+        dev, bound = abs(np.mean(x) - np.quantile(x, 0.5)), 0.25 * rng
+        if abs(bound - dev) > 1e-6 * max(bound, dev, 1e-300):
+            assert got.loc[g, "symmetry_looking_r25"] == int(dev < bound), g
+        assert got.loc[g, "large_standard_deviation_r25"] == duck.loc[g, "large_standard_deviation_r25"], g
+        assert got.loc[g, "symmetry_looking_r25"] == duck.loc[g, "symmetry_looking_r25"], g

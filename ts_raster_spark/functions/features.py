@@ -320,18 +320,24 @@ def location_aggs() -> dict[str, Column]:
 def large_standard_deviation_aggs(rs=(0.25,)) -> dict[str, Column]:
     """sigma_pop > r * (max - min) — examples/calculateFeatures.ipynb.
 
-    The comparison goes through ``round(sigma - r*range, 9) > 0``: when
-    the data makes the two sides EXACTLY equal (e.g. sigma = 0.5 on a
-    50-point 3-value series with range 2), each engine's aggregation
-    order leaves different +-1e-16 dust on sigma and a strict ``>``
-    splits across engines. Quantizing the difference snaps true
-    equality to 0 on both sides — which is also the correct strict-``>``
-    answer. Mirrored in the DuckDB twin."""
+    The comparison goes through a SCALE-RELATIVE quantized difference:
+    ``round((sigma - r*range) / greatest(sigma, r*range), 9) > 0``
+    (false when both sides are 0).  When the data makes the two sides
+    EXACTLY equal (e.g. sigma = 0.5 on a 50-point 3-value series with
+    range 2), each engine's aggregation order leaves different ±1e-16
+    dust on sigma and a strict ``>`` splits across engines; quantizing
+    the RATIO snaps true equality to 0 on both sides at every value
+    magnitude — an absolute round(diff, 9) broke for |x|~1e-9 (genuine
+    inequalities rounded to 0) and |x|~1e6 (dust survived), per the
+    round-3 advisor.  Mirrored textually in the DuckDB twin."""
     out = {}
     for r in rs:
-        diff = F.stddev_pop(V) - F.lit(float(r)) * (F.max(V) - F.min(V))
+        sigma = F.stddev_pop(V)
+        bound = F.lit(float(r)) * (F.max(V) - F.min(V))
+        scale = F.greatest(sigma, bound)
         out[f"large_standard_deviation_r{str(r).replace('0.', '')}"] = (
-            F.round(diff, 9) > 0
+            F.when(scale > 0, F.round((sigma - bound) / scale, 9) > 0)
+            .otherwise(F.lit(False))
         ).cast("long")
     return out
 

@@ -150,15 +150,20 @@ def mean_n_absolute_max_agg(n_maxima: int = 3) -> dict[str, Column]:
 
 
 def symmetry_looking_agg(r: float = 0.25) -> dict[str, Column]:
-    """|mean - median| < r * (max - min), as 0/1.  Same quantized-
-    difference boundary contract as large_standard_deviation (strict
-    comparisons on exactly-equal sides must not split across engines'
-    aggregation dust)."""
+    """|mean - median| < r * (max - min), as 0/1.  Same SCALE-RELATIVE
+    quantized-difference boundary contract as large_standard_deviation
+    (strict comparisons on exactly-equal sides must not split across
+    engines' aggregation dust, at any value magnitude)."""
     name = f"symmetry_looking_r{str(r).replace('0.', '')}"
-    diff = F.lit(float(r)) * (F.max(V) - F.min(V)) - F.abs(
-        F.avg(F.col(V)) - F.expr(f"percentile({V}, 0.5)")
-    )
-    return {name: (F.round(diff, 9) > 0).cast("long")}
+    bound = F.lit(float(r)) * (F.max(V) - F.min(V))
+    dev = F.abs(F.avg(F.col(V)) - F.expr(f"percentile({V}, 0.5)"))
+    scale = F.greatest(bound, dev)
+    return {
+        name: (
+            F.when(scale > 0, F.round((bound - dev) / scale, 9) > 0)
+            .otherwise(F.lit(False))
+        ).cast("long")
+    }
 
 
 def index_mass_quantile_agg(q: float = 0.5) -> dict[str, Column]:

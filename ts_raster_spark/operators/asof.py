@@ -80,9 +80,24 @@ def asof_join(
     else:
         w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-    for c in value_cols:
-        u = u.withColumn(f"_r_{c}", pick(f"_r_{c}"))
-    u = u.withColumn("_rt", pick("_rt"))
+    # ONE struct pick (match ts + all value cols together), not one pick
+    # per column: per-column last/first(ignorenulls) would skip a NULL
+    # value in the matched row and fetch that column from a FARTHER row
+    # while the tolerance gate still judged the nearer row's timestamp
+    # (round-3 advisor). merge_asof attaches the matched row wholesale,
+    # NULLs included — so the whole right row travels as one nullable
+    # struct (NULL on left rows; a struct of NULLs is non-NULL, hence
+    # the explicit _side guard).
+    rstruct = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col("_rt").alias("_rt"), *[F.col(f"_r_{c}").alias(f"_r_{c}") for c in value_cols]),
+    )
+    u = u.withColumn("_m", pick(rstruct))
+    u = u.select(
+        *[c for c in u.columns if c not in ("_m", "_rt", *[f"_r_{v}" for v in value_cols])],
+        F.col("_m._rt").alias("_rt"),
+        *[F.col(f"_m._r_{c}").alias(f"_r_{c}") for c in value_cols],
+    )
     out = u.where(F.col("_side") == 1)
     if tolerance_s is not None:
         dist = F.abs(F.col("_rt") - epoch_seconds(F.col("_t")))

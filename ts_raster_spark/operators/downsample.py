@@ -44,7 +44,12 @@ def lttb_indices(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
     prev = 0
     for b in range(n_out - 2):
         lo, hi = edges[b], edges[b + 1]
-        nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n - 1) + 1
+        # canonical LTTB (Steinarsson 2013 / TimescaleDB): the next-bucket
+        # centroid range is HALF-OPEN [edges[b+1], edges[b+2]); only the
+        # final bucket's successor is the end point itself (round-4 fix —
+        # the old `edges[b+2] + 1` leaked the following bucket's first
+        # candidate into the centroid)
+        nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
         # centroid of the NEXT bucket (last bucket's successor is the end point)
         cx = float(np.mean(x[nlo:nhi])) if nhi > nlo else float(x[-1])
         cy = float(np.mean(y[nlo:nhi])) if nhi > nlo else float(y[-1])

@@ -1196,7 +1196,11 @@ def q_anomaly_turns(spark, sf_dir):
     sig = F.stddev_pop("value").over(w)
     out = (
         t.withColumn("_z", F.when(sig > 0, (F.col("value") - mu) / sig))
-        .where(F.abs(F.col("_z")) > 2.5)
+        # quantized-difference boundary contract (features.py): a turn
+        # whose |z| sits within aggregation dust of 2.5 must not split
+        # across engines. z is dimensionless O(1), so the absolute 9-dp
+        # quantum IS scale-appropriate here; mirrored in the oracle.
+        .where(F.round(F.abs(F.col("_z")) - 2.5, 9) > 0)
         .select("conv_id", "turn_idx", "value", F.col("_z").alias("zscore"))
     )
     return finalize(out)

@@ -124,7 +124,10 @@ CORE_EXPRS = {
     "ratio_beyond_r_sigma_r3": "avg(CASE WHEN abs(value - mu) > 3 * sigma THEN 1.0 ELSE 0.0 END)",
     # quantized-difference boundary contract (see features.large_standard_deviation_aggs)
     "large_standard_deviation_r25": (
-        "CAST(round(stddev_pop(value) - 0.25 * (max(value) - min(value)), 9) > 0 AS INTEGER)"
+        "CAST((CASE WHEN greatest(stddev_pop(value), 0.25 * (max(value) - min(value))) > 0 "
+        "THEN round((stddev_pop(value) - 0.25 * (max(value) - min(value)))"
+        " / greatest(stddev_pop(value), 0.25 * (max(value) - min(value))), 9) > 0 "
+        "ELSE FALSE END) AS INTEGER)"
     ),
     "mean_abs_change": "avg(abs(value - lag1))",
     "mean_second_derivative_central": "avg((value - 2 * lag1 + lag2) / 2.0)",

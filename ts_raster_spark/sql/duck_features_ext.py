@@ -109,10 +109,16 @@ EXT_EXPRS: dict[str, str] = {
     "mean_n_absolute_max_3": (
         "CASE WHEN count(value) > 3 THEN avg(CASE WHEN rnabs <= 3 THEN abs(value) END) END"
     ),
-    # quantized-difference boundary contract (features_ext.symmetry_looking_agg)
+    # scale-relative quantized-difference boundary contract
+    # (features_ext.symmetry_looking_agg)
     "symmetry_looking_r25": (
-        "CAST(round(0.25 * (max(value) - min(value))"
-        " - abs(avg(value) - quantile_cont(value, 0.5)), 9) > 0 AS INTEGER)"
+        "CAST((CASE WHEN greatest(0.25 * (max(value) - min(value)),"
+        " abs(avg(value) - quantile_cont(value, 0.5))) > 0 "
+        "THEN round((0.25 * (max(value) - min(value))"
+        " - abs(avg(value) - quantile_cont(value, 0.5)))"
+        " / greatest(0.25 * (max(value) - min(value)),"
+        " abs(avg(value) - quantile_cont(value, 0.5))), 9) > 0 "
+        "ELSE FALSE END) AS INTEGER)"
     ),
     "index_mass_quantile_q5": (
         "CASE WHEN max(totabs) > 0 THEN "
