@@ -477,6 +477,24 @@ FROM long_panel
              "variance", "standard_deviation", "abs_energy"],
         ),
         "rollup_hour_full": _tier_rollup_sql("hour", ["text_len", "latency_s"], _FULL),
+        # round 4: value-checked compression — the twin recomputes the
+        # DECODED stream's aggregates from the raw long panel, so an
+        # encode/decode corruption breaks the value hash (the binary
+        # blocks themselves stay pytest+hypothesis-proven bit-exact)
+        "compress_roundtrip": f"""{LONG_CTE}
+SELECT conv_id, kind,
+    CAST(count(*) AS BIGINT) AS n_points,
+    {sql_r4("round(sum(value) + 1e-9, 2)")} AS sum_decoded,
+    {sql_r4("min(value)")} AS min_decoded,
+    {sql_r4("max(value)")} AS max_decoded,
+    strftime(min(ts), '{TS_FMT_US}') AS first_ts,
+    strftime(max(ts), '{TS_FMT_US}') AS last_ts,
+    CAST(count(*) AS BIGINT) AS n_orig,
+    {sql_r4("round(sum(value) + 1e-9, 2)")} AS sum_orig,
+    CAST(1 AS INTEGER) AS roundtrip_ok
+FROM long_panel WHERE kind IN ('text_len', 'latency_s')
+GROUP BY conv_id, kind
+""",
         "rollup_day_full": _tier_rollup_sql("day", ["text_len", "value"], _FULL),
         "conv_features": _conv_features_sql(),
         "latency_stats_hour": _tier_rollup_sql(

@@ -807,23 +807,36 @@ def q_kernel_features_cwt(spark, sf_dir):
 
 
 def q_compress_roundtrip(spark, sf_dir):
-    """Gorilla/DoD blocks: per-block sizes + decode-equality flag
-    (rows-only driver check: binary blocks have no SQL analog)."""
+    """Gorilla/DoD blocks, VALUE-CHECKED (round 4): the binary blocks
+    themselves have no SQL analog, but the aggregates of the DECODED
+    stream do — per-(conv_id, kind) n/sum/min/max of decoded values and
+    first/last decoded timestamp (from the DoD stream).  The DuckDB twin
+    recomputes every column from the raw long panel, so a corrupted
+    encode/decode breaks the driver's value hash, not just a pytest.
+    Bit-exactness of the codecs themselves stays pytest+hypothesis-
+    proven (tests/test_compression.py, test_chimp.py)."""
     from ts_raster_spark.operators.compress import compress_blocks, decompress_blocks
 
     long_df = load_long(spark, sf_dir).where(F.col("kind").isin("text_len", "latency_s"))
     blocks = compress_blocks(long_df, block="day")
     decoded = decompress_blocks(blocks).groupBy("conv_id", "kind").agg(
         F.count("*").cast("long").alias("n_points"),
-        F.round(F.sum("value"), 2).alias("sum_decoded"),
+        # +1e-9 nudge: same half-boundary contract as norm.r4, at the
+        # 2-dp quantum (mirrored in the DuckDB twin)
+        F.round(F.sum("value") + 1e-9, 2).alias("sum_decoded"),
+        F.min("value").alias("min_decoded"),
+        F.max("value").alias("max_decoded"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
     )
     original = long_df.groupBy("conv_id", "kind").agg(
         F.count("*").cast("long").alias("n_orig"),
-        F.round(F.sum("value"), 2).alias("sum_orig"),
+        F.round(F.sum("value") + 1e-9, 2).alias("sum_orig"),
     )
     return finalize(
         decoded.join(original, ["conv_id", "kind"])
-        .withColumn("roundtrip_ok", ((F.col("n_points") == F.col("n_orig")) & (F.col("sum_decoded") == F.col("sum_orig"))).cast("int"))
+        .withColumn("roundtrip_ok", ((F.col("n_points") == F.col("n_orig")) & (F.col("sum_decoded") == F.col("sum_orig"))).cast("int")),
+        ts_fmt="yyyy-MM-dd HH:mm:ss.SSSSSS",
     )
 
 
