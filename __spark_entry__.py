@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tools_hour": Q.q_top_tools_hour,
         "asof_tolerance": Q.q_asof_tolerance,
         "sliding_counts": Q.q_sliding_counts,
+        "sliding_counts_hll": Q.q_sliding_counts_hll,
         "stream_sliding_counts": Q.q_stream_sliding_counts,
         "stream_session_windows": Q.q_stream_session_windows,
         "anomaly_turns": Q.q_anomaly_turns,
@@ -211,6 +212,55 @@ SELECT strftime(ex.bucket_start, '{TS_FMT}') AS bucket_start, ex.n_exact,
     round({est}, 4) AS hll_estimate,
     round({est}, 4) AS hll_from_fine
 FROM ex JOIN agg USING (bucket_start)
+"""
+
+
+def _sliding_counts_hll_sql() -> str:
+    """Twin of queries.q_sliding_counts_hll: the register math is the
+    SAME SQL text Spark executes (functions/hllsql.py); registers are
+    built at the 15-minute grain and expanded/max-merged into the 4
+    covering hopping windows, exactly like the engine's scale path."""
+    from ts_raster_spark.functions import hllsql as H
+
+    est = H.estimate_expr("n_present", "sum_inv")
+    return f"""{TURNS_CTE},
+b AS (
+    SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS b15, conv_id
+    FROM turns
+),
+hashed AS (SELECT b15, conv_id, {H.md5_expr("conv_id")} AS h FROM b),
+hv AS (SELECT b15, {H.hash32_expr("h")} AS h32 FROM hashed),
+regs AS (
+    SELECT b15, {H.bucket_expr("h32")} AS bucket,
+        max({H.rho_expr(H.w_expr("h32"))}) AS register
+    FROM hv GROUP BY 1, 2
+),
+ks AS (SELECT unnest(range(4)) AS k),
+regs_x AS (
+    SELECT to_timestamp(r.b15 - ks.k * 900) AS window_start, r.bucket, r.register
+    FROM regs r CROSS JOIN ks
+),
+merged AS (
+    SELECT window_start, bucket, max(register) AS register
+    FROM regs_x GROUP BY 1, 2
+),
+agg AS (
+    SELECT window_start, count(*) AS n_present,
+        sum(power(0.5, register)) AS sum_inv
+    FROM merged GROUP BY 1
+),
+cnts AS (SELECT b15, count(*) AS n FROM b GROUP BY 1),
+cnts_x AS (
+    SELECT to_timestamp(c.b15 - ks.k * 900) AS window_start, c.n
+    FROM cnts c CROSS JOIN ks
+),
+nt AS (
+    SELECT window_start, CAST(sum(n) AS BIGINT) AS n_turns
+    FROM cnts_x GROUP BY 1
+)
+SELECT strftime(nt.window_start, '{TS_FMT}') AS window_start, nt.n_turns,
+    round({est}, 4) AS hll_convs
+FROM nt JOIN agg USING (window_start)
 """
 
 
@@ -1069,6 +1119,7 @@ SELECT strftime(window_start, '{TS_FMT}') AS window_start,
     {r("sum(CAST(length(text) AS DOUBLE))", "sum_text_len")}
 FROM expanded GROUP BY window_start
 """,
+        "sliding_counts_hll": _sliding_counts_hll_sql(),
         # every turn belongs to the 4 hour-long windows whose 15-min-
         # aligned starts fall in (ts - 1h, ts]
         "sliding_counts": f"""{TURNS_CTE},

@@ -131,3 +131,47 @@ def test_rho_expr_edges(spark):
         f"({1 << 22}), ({1 << 23}), ({(1 << 24) - 1})) t(w)"
     ).fetchall()
     assert {w: r for w, r in rows} == got
+
+
+def test_sliding_counts_hll_expands_registers_not_rows(spark):
+    """The hopping-window scale path must 4x-expand the per-15-min
+    REGISTER table (<=256 rows/bucket) and the per-bucket counts — never
+    raw rows: every Generate (explode) in the optimized plan must sit
+    over an Aggregate subtree, and the estimate must agree with a
+    single-grain direct HLL computation."""
+    from ts_raster_spark.queries import q_sliding_counts_hll
+
+    df = q_sliding_counts_hll(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    gens = [i for i, ln in enumerate(lines) if "Generate explode" in ln]
+    assert gens, plan  # the expansion exists
+    for gi in gens:
+        indent = len(lines[gi]) - len(lines[gi].lstrip(" :+-"))
+        subtree = []
+        for ln in lines[gi + 1:]:
+            cur = len(ln) - len(ln.lstrip(" :+-"))
+            if cur <= indent:
+                break
+            subtree.append(ln)
+        assert any("Aggregate" in ln for ln in subtree), (
+            "explode over raw rows:\n" + "\n".join(lines[gi:gi + 6])
+        )
+
+    # cross-check one window's estimate against a direct single-shot HLL
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ts_raster_spark.operators.hll import hll_estimate, hll_registers
+    from ts_raster_spark.operators.longform import epoch_seconds
+    from ts_raster_spark.queries import load_turns
+
+    row = df.orderBy(F.desc("n_turns")).limit(1).collect()[0]
+    t = load_turns(spark, "/root/testdata/sf0.001")
+    ws = dt.datetime.strptime(row["window_start"], "%Y-%m-%d %H:%M:%S")
+    eps = epoch_seconds(F.col("ts"))
+    w0 = ws.replace(tzinfo=dt.timezone.utc).timestamp()
+    in_win = t.where((eps >= w0) & (eps < w0 + 3600)).select(F.lit(1).alias("g"), "conv_id")
+    direct = hll_estimate(hll_registers(in_win, "conv_id", ["g"]), ["g"]).collect()[0]
+    assert abs(direct["hll_estimate"] - row["hll_convs"]) < 1e-9

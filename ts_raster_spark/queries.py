@@ -1135,6 +1135,37 @@ def q_sliding_counts(spark, sf_dir):
     return finalize(out)
 
 
+def q_sliding_counts_hll(spark, sf_dir):
+    """Scale path for hopping-window distinct counts (round 4): exact
+    ``count_distinct`` over 1-hour/15-min hopping windows shuffles every
+    distinct (window, conv_id) pair FOUR times — the distinct-pair
+    shuffle the HLL register table (operators/hll.py) exists to avoid.
+    Here the register table is built ONCE at the base 15-minute grain
+    (≤256 narrow rows per bucket regardless of input size), and only
+    REGISTERS are expanded into the 4 covering windows and max-merged;
+    per-bucket turn counts ride the same expand-and-sum algebra, so no
+    raw row is ever replicated. The exact-distinct sibling
+    (``sliding_counts``) stays as the parity gate; at sf scale the HLL
+    estimate's own accuracy is pytest-asserted (tests/test_hll.py)."""
+    from ts_raster_spark.operators.hll import hll_estimate, hll_merge, hll_registers
+    from ts_raster_spark.operators.longform import epoch_seconds
+
+    t = load_turns(spark, sf_dir)
+    b15 = (F.floor(epoch_seconds(F.col("ts")) / 900) * 900).cast("long")
+    base = t.select(b15.alias("b15"), "conv_id")
+    regs = hll_registers(base, "conv_id", ["b15"])
+    counts = base.groupBy("b15").agg(F.count("*").cast("long").alias("_n"))
+    k = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")
+    win_start = F.timestamp_seconds(F.col("b15") - F.col("k") * 900).alias("window_start")
+    regs_x = regs.select("b15", "bucket", "register", k).select(win_start, "bucket", "register")
+    merged = hll_estimate(
+        hll_merge(regs_x, ["window_start"]), ["window_start"], out_col="hll_convs"
+    )
+    counts_x = counts.select("b15", "_n", k).select(win_start, "_n")
+    n_turns = counts_x.groupBy("window_start").agg(F.sum("_n").cast("long").alias("n_turns"))
+    return finalize(n_turns.join(merged, "window_start"))
+
+
 def q_stream_sliding_counts(spark, sf_dir):
     """Hopping-window rollup through Structured Streaming (file source →
     sliding window agg → memory sink, availableNow): stream/batch parity
