@@ -62,31 +62,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round get their first driver attestation. The local gate
     (tools/check_correctness.py) still runs the full dict at three SFs."""
     return {
+        # ---- driver window (first 50) ------------------------------------
+        # Rotation policy (round 4): entries whose code changed this
+        # round stay for re-attestation (rollup_hour_full, conv_features,
+        # conv_features_ext, asof_join, compress_roundtrip); entries first
+        # attested in r3 keep a slot for a second row; one representative
+        # per surface family stays (gapfill/mask/cascade/sketch/retention/
+        # merge/streaming/dedup/components/ANN/text); everything green in
+        # r2+r3 with an in-window family sibling moves to the tail, freeing
+        # 20 slots for the 19 never-driver-attested round-3 queries plus
+        # the new sliding_counts_hll. Every tail entry still runs in the
+        # 3-SF local gate (tools/check_correctness.py).
         "turns_derivation": Q.q_turns_derivation,
-        "long_panel": Q.q_long_panel,
         "rollup_hour_full": Q.q_rollup_hour_full,
         "conv_features": Q.q_conv_features,
+        "conv_features_ext": Q.q_conv_features_ext,
         # Arrow-kernel path: value-checked against a checked-in golden
         # parquet (tools/make_golden_cwt.py — CWT is not SQL-expressible
-        # but IS deterministic). Compression blocks stay rows-only
-        # (binary payloads have no SQL analog); their bit-exactness is
-        # pytest-proven incl. hypothesis properties.
+        # but IS deterministic).
         "kernel_features_cwt": Q.q_kernel_features_cwt,
+        # round 4: now value-checked (decoded-stream aggregates vs the
+        # twin's recomputation from raw; blocks stay pytest-bit-exact)
         "compress_roundtrip": Q.q_compress_roundtrip,
+        "asof_join": Q.q_asof_join,
         "time_weighted_avg": Q.q_time_weighted_avg,
         "stratified_sample": Q.q_stratified_sample,
         "moving_quantiles": Q.q_moving_quantiles,
         "feature_relevance_fdr": Q.q_feature_relevance_fdr,
-        "role_tool_mix_conv": Q.q_role_tool_mix_conv,
         "mask_rollup_hour": Q.q_mask_rollup_hour,
-        "panel_lag1": Q.q_panel_lag1,
         "cascade_hour_from_minute": Q.q_cascade_hour_from_minute,
         "gapfill_locf_hour": Q.q_gapfill_locf_hour,
-        "gapfill_linear_hour": Q.q_gapfill_linear_hour,
-        # round-3 promotions: first driver attestation for the extended
-        # calculator dictionary, the counter/state/heartbeat algebra and
-        # the training-pipeline curation ops
-        "conv_features_ext": Q.q_conv_features_ext,
         "counter_rate_hour": Q.q_counter_rate_hour,
         "state_durations": Q.q_state_durations,
         "heartbeat_uptime": Q.q_heartbeat_uptime,
@@ -94,67 +99,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": Q.q_chunk_documents,
         "pack_documents": Q.q_pack_documents,
         "curate_corpus": Q.q_curate_corpus,
-        # documents / embeddings: training-data pipeline ops
-        "dedup_exact": Q.q_dedup_exact,
-        "dedup_ngram_jaccard": Q.q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
-        "dedup_simhash": Q.q_dedup_simhash,
         "dedup_components": Q.q_dedup_components,
-        "ann_topk_cosine": Q.q_ann_topk_cosine,
         "ann_signlsh": Q.q_ann_signlsh,
-        "dedup_embedding_cosine_blocked": Q.q_dedup_embedding_cosine_blocked,
-        "lang_id": Q.q_lang_id,
-        "token_stats": Q.q_token_stats,
-        "quality_score": Q.q_quality_score,
-        "fingerprint": Q.q_fingerprint,
         "tfidf_top_terms": Q.q_tfidf_top_terms,
-        # ML-prep tail (sample/split/scale/relevance/combine)
-        "train_test_split": Q.q_train_test_split,
-        "minmax_scale": Q.q_minmax_scale,
-        "combine_periods": Q.q_combine_periods,
-        "wide_to_long_panel": Q.q_wide_to_long_panel,
         "retention_ttl_hour": Q.q_retention_ttl_hour,
         "stream_rollup_minute": Q.q_stream_rollup_minute,
         "sketch_quantile_hour": Q.q_sketch_quantile_hour,
         "stream_stateful_counts": Q.q_stream_stateful_counts,
         "late_data_merge_hour": Q.q_late_data_merge_hour,
-        "balanced_panel_check": Q.q_balanced_panel_check,
-        "export_wide_features": Q.q_export_wide_features,
-        "asof_join": Q.q_asof_join,
-        "session_windows": Q.q_session_windows,
-        # ---- end of driver window (50) — attested-elsewhere tail ----
-        # session_windows closes the window. Every tail entry still runs
-        # in the 3-SF local gate; placement here means EITHER the op has
-        # two green driver rows (r1+r2) and an in-window sibling attests
-        # its surface, OR it is a parity/recall baseline: moving_stats
-        # (frame-spec rolling → moving_quantiles), sample_turns (hash
-        # sampling → stratified_sample), unmask_conv_counts (outer-join
-        # unmask → mask_rollup_hour), rollup_minute_core + rollup_day_full
-        # (same 39-agg path → rollup_hour_full), cascade_day_from_minute
-        # (tier algebra → cascade_hour), dedup_embedding_cosine
-        # (all-pairs baseline → blocked), latency_stats_hour +
-        # turn_count_hour (column subsets of rollup_hour_full),
-        # gapfill_sentinel_hour (third branch of the gapfill op),
-        # autocorr_lags (general-lag variant of in-rollup autocorrelation),
-        # feature_names_dim (dim sink), feature_relevance (superseded by
-        # in-window feature_relevance_fdr), ann_ivf (no_oracle by nature —
-        # k-means isn't SQL-reproducible; recall pytest-asserted).
-        "moving_stats": Q.q_moving_stats,
-        "sample_turns": Q.q_sample_turns,
-        "unmask_conv_counts": Q.q_unmask_conv_counts,
-        "rollup_minute_core": Q.q_rollup_minute_core,
-        "rollup_day_full": Q.q_rollup_day_full,
-        "cascade_day_from_minute": Q.q_cascade_day_from_minute,
-        "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
-        "latency_stats_hour": Q.q_latency_stats_hour,
-        "turn_count_hour": Q.q_turn_count_hour,
-        "gapfill_sentinel_hour": Q.q_gapfill_sentinel_hour,
-        "autocorr_lags": Q.q_autocorr_lags,
-        "feature_names_dim": Q.q_feature_names_dim,
-        "feature_relevance": Q.q_feature_relevance,
-        "ann_ivf": Q.q_ann_ivf,
-        # round-3 ops not yet rotated into the window (full value
-        # oracles, 3-SF local-gate green + pytest)
+        # round-4 promotions: first driver attestation (full value
+        # oracles, previously 3-SF local-gate green + pytest only)
         "dedup_keep_canonical": Q.q_dedup_keep_canonical,
         "repetition_stats": Q.q_repetition_stats,
         "duplicate_lines": Q.q_duplicate_lines,
@@ -175,6 +130,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_counts": Q.q_stream_sliding_counts,
         "stream_session_windows": Q.q_stream_session_windows,
         "anomaly_turns": Q.q_anomaly_turns,
+        # ---- end of driver window (50) — attested-elsewhere tail ----
+        # anomaly_turns closes the window. Every tail entry has >=1 green
+        # driver CORRECTNESS row (r1-r3) and an in-window family sibling,
+        # OR is a parity/recall baseline: moving_stats (frame-spec rolling
+        # -> moving_quantiles, moving_stats_time), sample_turns (hash
+        # sampling -> stratified_sample), unmask_conv_counts (outer-join
+        # unmask -> mask_rollup_hour), rollup_minute_core + rollup_day_full
+        # (same 39-agg path -> rollup_hour_full), cascade_day_from_minute
+        # (tier algebra -> cascade_hour), dedup_embedding_cosine
+        # (all-pairs baseline -> blocked), latency_stats_hour +
+        # turn_count_hour (column subsets of rollup_hour_full),
+        # gapfill_sentinel_hour (third branch of the gapfill op),
+        # autocorr_lags (general-lag variant of in-rollup autocorrelation),
+        # feature_names_dim (dim sink), feature_relevance (superseded by
+        # in-window feature_relevance_fdr), ann_ivf (no_oracle by nature —
+        # k-means isn't SQL-reproducible; recall pytest-asserted).
+        "long_panel": Q.q_long_panel,
+        "role_tool_mix_conv": Q.q_role_tool_mix_conv,
+        "panel_lag1": Q.q_panel_lag1,
+        "gapfill_linear_hour": Q.q_gapfill_linear_hour,
+        "dedup_exact": Q.q_dedup_exact,
+        "dedup_ngram_jaccard": Q.q_dedup_ngram_jaccard,
+        "dedup_simhash": Q.q_dedup_simhash,
+        "ann_topk_cosine": Q.q_ann_topk_cosine,
+        "dedup_embedding_cosine_blocked": Q.q_dedup_embedding_cosine_blocked,
+        "lang_id": Q.q_lang_id,
+        "token_stats": Q.q_token_stats,
+        "quality_score": Q.q_quality_score,
+        "fingerprint": Q.q_fingerprint,
+        "train_test_split": Q.q_train_test_split,
+        "minmax_scale": Q.q_minmax_scale,
+        "combine_periods": Q.q_combine_periods,
+        "wide_to_long_panel": Q.q_wide_to_long_panel,
+        "balanced_panel_check": Q.q_balanced_panel_check,
+        "export_wide_features": Q.q_export_wide_features,
+        "session_windows": Q.q_session_windows,
+        "moving_stats": Q.q_moving_stats,
+        "sample_turns": Q.q_sample_turns,
+        "unmask_conv_counts": Q.q_unmask_conv_counts,
+        "rollup_minute_core": Q.q_rollup_minute_core,
+        "rollup_day_full": Q.q_rollup_day_full,
+        "cascade_day_from_minute": Q.q_cascade_day_from_minute,
+        "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
+        "latency_stats_hour": Q.q_latency_stats_hour,
+        "turn_count_hour": Q.q_turn_count_hour,
+        "gapfill_sentinel_hour": Q.q_gapfill_sentinel_hour,
+        "autocorr_lags": Q.q_autocorr_lags,
+        "feature_names_dim": Q.q_feature_names_dim,
+        "feature_relevance": Q.q_feature_relevance,
+        "ann_ivf": Q.q_ann_ivf,
     }
 
 
@@ -915,6 +920,16 @@ WHERE substr(md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)), 1, 8) <
         "dedup_components": DD.components_sql(8, 2),
         "ann_topk_cosine": DD.cosine_topk_sql(Q.ANN_QUERY_IDS, 5),
         "ann_signlsh": DD.signlsh_topk_sql(Q.ANN_QUERY_IDS, 3),
+        # the IVF neighbor rows are not SQL-reproducible (k-means), but
+        # the quality claim is checkable: the oracle states recall@5 vs
+        # brute force (computed in-query on the Spark side) is >= 0.8
+        # averaged over the 20 standing query vectors (see q_ann_ivf
+        # docstring for the measured margins)
+        "ann_ivf": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_queries, "
+            "CAST(1 AS INTEGER) AS mean_recall_ge_08 "
+            f"FROM embeddings WHERE vec_id IN ({', '.join(str(i) for i in Q.ANN_QUERY_IDS)})"
+        ),
         "dedup_embedding_cosine": f"""WITH pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         round({DD._DOT} / ({DD._NORM.format(c='a')} * {DD._NORM.format(c='b')}), 4) AS cosine

@@ -23,10 +23,13 @@ from ts_raster_spark.sources.turns import TABLE_NAMES  # noqa: E402
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    """NO float re-rounding here (round 4): query outputs are already
+    normalized by finalize()/sql_r4 on both engines, and the driver
+    value-hashes them as-is — a local 4-dp re-round was LOOSER than the
+    driver and could green-light a value the driver would flag.  Signed
+    zeros are normalized by the queries' own ``+ 0.0`` contract."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(4)
         # unify ints across engines
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("Int64")
@@ -43,10 +46,10 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     a, b = norm(sdf), norm(odf)
     if len(a) == len(b):
         try:
-            # EXACT post-normalization equality — the driver value-hashes,
-            # so a single last-decimal rounding-boundary collision fails.
-            # The gate data is deterministic: exact-pass once = always.
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-12)
+            # EXACT equality, zero tolerance — the driver value-hashes,
+            # so even a last-bit float difference fails there; the local
+            # gate must be exactly as strict to predict driver green.
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
         except AssertionError as e:
             problems.append(f"values: {str(e).splitlines()[-1][:400]}")
     return problems
@@ -64,9 +67,11 @@ def main():
 
     qs, os_ = E.queries(), E.oracle_sql()
     failed = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -89,7 +94,7 @@ def main():
             failed.append(name)
         else:
             print(f"PASS {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    print(f"\n{n_run - len(failed)}/{n_run} pass")
     sys.exit(1 if failed else 0)
 
 

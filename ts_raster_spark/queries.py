@@ -300,11 +300,36 @@ def q_dedup_embedding_cosine_blocked(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF (k-means cells, nprobe=4) approximate top-k — rows-only
-    (k-means iterations are not SQL-reproducible)."""
-    from ts_raster_spark.operators.similarity import ivf_topk
+    """IVF (k-means cells, nprobe=8 of 16) approximate top-k,
+    driver-checkable (round 4): k-means iterations are not
+    SQL-reproducible, so the raw neighbor rows cannot be value-hashed —
+    but the QUALITY CLAIM can.  The query computes recall@5 per query
+    vs an in-query brute-force top-5 over the same vectors and emits
+    one row (n_queries, mean_recall_ge_08); the oracle states the
+    claim (20, 1).  A recall regression below 0.8 flips the boolean
+    and breaks the hash — upgrading the one structurally-no_oracle
+    entry to a checkable row (per-query detail stays pytest-asserted,
+    tests/test_ivf.py).  Threshold note: the synthetic embeddings are
+    near-uniform, so cell boundaries cut true neighborhoods —
+    measured mean recall at nprobe=8 is 0.86/0.92/0.90 at
+    sf0.001/0.01/0.1; 0.8 is the claim with honest cross-host margin
+    (on clusterable real data the same config scores higher)."""
+    from ts_raster_spark.operators.similarity import cosine_topk_bruteforce, ivf_topk
 
-    return ivf_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=5)
+    emb = _emb(spark, sf_dir)
+    ivf = ivf_topk(emb, ANN_QUERY_IDS, k=5, nprobe=8).select("query_id", "neighbor_id")
+    brute = cosine_topk_bruteforce(emb, ANN_QUERY_IDS, k=5).select("query_id", "neighbor_id")
+    hits = brute.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    per_q = (
+        brute.select("query_id").distinct()
+        .join(hits.groupBy("query_id").agg(F.count("*").alias("_hits")), "query_id", "left")
+        .select((F.coalesce(F.col("_hits"), F.lit(0)) / 5.0).alias("_recall"))
+    )
+    out = per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        (F.avg("_recall") >= 0.8).cast("int").alias("mean_recall_ge_08"),
+    )
+    return out
 
 
 def q_lang_id(spark, sf_dir):
