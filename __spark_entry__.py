@@ -180,6 +180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_names_dim": Q.q_feature_names_dim,
         "feature_relevance": Q.q_feature_relevance,
         "ann_ivf": Q.q_ann_ivf,
+        # NEW round 4 (tail this round; rotate into the window next):
+        # deterministic KLL rank-sketch cascade with in-query rank-bound
+        # verification (claim-style oracle, like ann_ivf)
+        "sketch_kll_hour": Q.q_sketch_kll_hour,
     }
 
 
@@ -719,6 +723,20 @@ FROM agg a LEFT JOIN lat l ON a.conv_id = l.conv_id
 """,
         # hour sketch computed directly from raw — equality to Spark's
         # minute→hour merged sketch proves the sketch cascade is exact
+        # KLL rank-sketch claim oracle: n from raw; the in-query rank-
+        # bound booleans and the weight-conservation check must all hold
+        # (estimate values themselves are algorithm-reproducible only —
+        # pytest-asserted in tests/test_kll.py)
+        "sketch_kll_hour": f"""{LONG_CTE}
+SELECT conv_id, kind,
+    strftime(date_trunc('hour', ts), '{TS_FMT}') AS bucket_start,
+    CAST(count(*) AS BIGINT) AS n_raw,
+    CAST(1 AS INTEGER) AS count_ok,
+    CAST(1 AS INTEGER) AS q50_in_bound,
+    CAST(1 AS INTEGER) AS q95_in_bound
+FROM long_panel WHERE kind = 'text_len'
+GROUP BY 1, 2, 3
+""",
         "sketch_quantile_hour": f"""{LONG_CTE},
 base AS (
     SELECT conv_id, kind, ts, value FROM long_panel WHERE kind IN ('text_len', 'latency_s')

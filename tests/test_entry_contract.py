@@ -23,9 +23,6 @@ ALLOWED_TAIL = {
     "rollup_minute_core",
     "cascade_day_from_minute",
     "dedup_embedding_cosine",
-    # demoted in the round-3 rotation: two green driver rows each and an
-    # in-window sibling attesting the surface (queries() docstring maps
-    # each to its sibling)
     "rollup_day_full",
     "latency_stats_hour",
     "turn_count_hour",
@@ -34,27 +31,31 @@ ALLOWED_TAIL = {
     "feature_names_dim",
     "feature_relevance",
     "ann_ivf",
-    # engine-added ops with full value oracles; attested by the local
-    # gate + pytest until window space frees up
-    "dedup_keep_canonical",
-    "repetition_stats",
-    "duplicate_lines",
-    "embedding_quantize",
-    "hll_users_hour",
-    "stream_dedup_exact",
-    "moving_stats_time",
-    "new_convs_hour",
-    "cohort_retention",
-    "ohlc_hour",
-    "ema_turns",
-    "lttb_downsample",
-    "rollup_5min",
-    "top_tools_hour",
-    "asof_tolerance",
-    "sliding_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "anomaly_turns",
+    # demoted in the round-4 rotation: >=2 green driver rows each
+    # (r1/r2 + r3) and an in-window family sibling attesting the
+    # surface (queries() docstring maps each to its sibling)
+    "long_panel",
+    "role_tool_mix_conv",
+    "panel_lag1",
+    "gapfill_linear_hour",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_topk_cosine",
+    "dedup_embedding_cosine_blocked",
+    "lang_id",
+    "token_stats",
+    "quality_score",
+    "fingerprint",
+    "train_test_split",
+    "minmax_scale",
+    "combine_periods",
+    "wide_to_long_panel",
+    "balanced_panel_check",
+    "export_wide_features",
+    "session_windows",
+    # NEW round 4, full claim oracle, waiting on window space
+    "sketch_kll_hour",
 }
 
 # operators that were unattested in round 2 precisely because they sat
@@ -75,6 +76,27 @@ MUST_BE_IN_WINDOW = {
     "chunk_documents",
     "pack_documents",
     "curate_corpus",
+    # round-4 promotions: first driver attestation happens in r4
+    "dedup_keep_canonical",
+    "repetition_stats",
+    "duplicate_lines",
+    "embedding_quantize",
+    "hll_users_hour",
+    "stream_dedup_exact",
+    "moving_stats_time",
+    "new_convs_hour",
+    "cohort_retention",
+    "ohlc_hour",
+    "ema_turns",
+    "lttb_downsample",
+    "rollup_5min",
+    "top_tools_hour",
+    "asof_tolerance",
+    "sliding_counts",
+    "sliding_counts_hll",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "anomaly_turns",
 }
 
 
@@ -88,10 +110,10 @@ def test_window_composition():
 def test_every_query_has_oracle_or_documented_exception():
     qs = set(E.queries())
     oracles = set(E.oracle_sql())
-    # rows-only by nature: k-means (ann_ivf) and binary compression
-    # blocks (compress_roundtrip) have no SQL analog (ann_ivf sits in
-    # the tail so the driver window stays fully value-checked)
-    assert qs - oracles == {"ann_ivf", "compress_roundtrip"}
+    # round 4: every query has an oracle — compress_roundtrip checks
+    # decoded-stream aggregates against raw, ann_ivf and sketch_kll_hour
+    # carry claim-style oracles (in-query verification, constant claim)
+    assert qs - oracles == set()
     assert oracles <= qs
 
 

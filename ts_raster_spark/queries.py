@@ -689,6 +689,47 @@ def q_stream_stateful_counts(spark, sf_dir):
     return finalize(final)
 
 
+def q_sketch_kll_hour(spark, sf_dir):
+    """Deterministic KLL rank-sketch cascade (round 4, operators/kll.py):
+    minute-grain sketches merged to hour, q50/q95 read from the merged
+    sketch.  The estimates themselves are only reproducible by running
+    the compaction algorithm (not SQL), so the driver-checkable surface
+    is the CLAIM, verified in-query against raw: the estimate's rank
+    interval must sit within the sketch's closed-form worst-case rank
+    bound H·n/(2k) of the target rank, and the sketch's conserved weight
+    must equal the exact count.  The oracle recomputes n from raw and
+    states the booleans; estimate accuracy/determinism/merge-parity are
+    pytest-asserted (tests/test_kll.py)."""
+    from ts_raster_spark.operators.kll import kll_merge, kll_quantiles, kll_sketch
+
+    k = 64
+    long_df = load_long(spark, sf_dir).where(F.col("kind") == "text_len")
+    sk = kll_merge(kll_sketch(long_df, "minute", k=k), "hour", k=k)
+    est = kll_quantiles(sk, qs=(0.5, 0.95))
+    raw = long_df.withColumn("bucket_start", F.date_trunc("hour", F.col("ts")))
+    joined = raw.join(est, ["conv_id", "kind", "bucket_start"])
+    n = F.count("*")
+    # worst-case rank bound of the deterministic compaction (kll.py):
+    # H = log2(max(n/k, 2)) + 1 levels, each compaction at level l
+    # shifts a rank by <= 2^l, summing to H*n/(2k)
+    h = F.greatest(F.lit(1.0), F.log2(F.greatest(n.cast("double") / k, F.lit(2.0))) + 1.0)
+    bound = h * n.cast("double") / (2.0 * k)
+
+    def _in_bound(est_col, q):
+        lo = F.sum((F.col("value") < F.col(est_col)).cast("long")).cast("double")
+        hi = F.sum((F.col("value") <= F.col(est_col)).cast("long")).cast("double")
+        target = F.lit(q) * n.cast("double")
+        return ((hi >= target - bound) & (lo <= target + bound)).cast("int")
+
+    out = joined.groupBy("conv_id", "kind", "bucket_start").agg(
+        n.cast("long").alias("n_raw"),
+        (F.max("turn_count") == n).cast("int").alias("count_ok"),
+        _in_bound("q50_kll", 0.5).alias("q50_in_bound"),
+        _in_bound("q95_kll", 0.95).alias("q95_in_bound"),
+    )
+    return finalize(out)
+
+
 def q_sketch_quantile_hour(spark, sf_dir):
     """Mergeable-sketch quantile cascade: minute-tier histogram sketches
     merged (bin-count sums) up to hour, quantiles read off the merged
