@@ -153,8 +153,32 @@ AUDITS = [
     (
         "ema_turns",
         Q.q_ema_turns,
-        "Closed-form EMA: rescaled cumsum inside one ordered window on "
-        "conv_id — zero Python, one Exchange.",
+        "Routed EMA (round 4): short groups take the closed-form "
+        "rescaled-cumsum window, mega-groups the pandas-ewm kernel; "
+        "routing is a BroadcastExchange of the >threshold key set from "
+        "a map-side-combined count (partial_count) — the bulk data is "
+        "hash-shuffled once (short-branch window), the kernel branch "
+        "shuffles only mega rows, never the full input twice.",
+    ),
+    (
+        "sliding_counts_hll",
+        Q.q_sliding_counts_hll,
+        "Hopping-window HLL (round 4): both Generate/explode nodes sit "
+        "ABOVE aggregates (register table / per-bucket counts at the "
+        "15-min grain) — the 4x window expansion replicates <=256 "
+        "register rows + 1 count row per bucket, never raw turns; "
+        "merge is partial_max/partial_sum re-aggregation.",
+    ),
+    (
+        "sketch_kll_hour",
+        Q.q_sketch_kll_hour,
+        "KLL cascade (round 4): raw rows are kernel-grouped ONCE "
+        "(build); every Exchange after that point moves only SKETCH "
+        "rows (<=k*log2(n/k) per bucket) — the merge kernel's "
+        "re-exchange and the quantile-window exchange are both over "
+        "the compacted item table, never raw turns; quantile walk + "
+        "in-query rank verification are window SQL + one aggregate "
+        "over the raw join, no extra kernel.",
     ),
     (
         "lttb_downsample",
