@@ -181,9 +181,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_relevance": Q.q_feature_relevance,
         "ann_ivf": Q.q_ann_ivf,
         # NEW round 4 (tail this round; rotate into the window next):
-        # deterministic KLL rank-sketch cascade with in-query rank-bound
-        # verification (claim-style oracle, like ann_ivf)
+        # deterministic KLL rank-sketch / Misra-Gries heavy-hitters
+        # cascades with in-query bound verification (claim-style
+        # oracles, like ann_ivf)
         "sketch_kll_hour": Q.q_sketch_kll_hour,
+        "mg_top_tools_hour": Q.q_mg_top_tools_hour,
     }
 
 
@@ -736,6 +738,18 @@ SELECT conv_id, kind,
     CAST(1 AS INTEGER) AS q95_in_bound
 FROM long_panel WHERE kind = 'text_len'
 GROUP BY 1, 2, 3
+""",
+        # Misra-Gries claim oracle: distinct-tool count per bucket from
+        # raw; the in-query retention/undercount booleans must hold
+        # (summary values are algorithm-reproducible only — pytest-
+        # asserted in tests/test_mg.py)
+        "mg_top_tools_hour": f"""{TURNS_CTE}
+SELECT strftime(date_trunc('hour', ts), '{TS_FMT}') AS bucket_start,
+    CAST(count(DISTINCT tool) AS BIGINT) AS n_tools,
+    CAST(1 AS INTEGER) AS bounds_ok,
+    CAST(1 AS INTEGER) AS cover_ok
+FROM turns WHERE tool IS NOT NULL
+GROUP BY 1
 """,
         "sketch_quantile_hour": f"""{LONG_CTE},
 base AS (

@@ -56,6 +56,7 @@ ALLOWED_TAIL = {
     "session_windows",
     # NEW round 4, full claim oracle, waiting on window space
     "sketch_kll_hour",
+    "mg_top_tools_hour",
 }
 
 # operators that were unattested in round 2 precisely because they sat

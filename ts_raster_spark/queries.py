@@ -730,6 +730,49 @@ def q_sketch_kll_hour(spark, sf_dir):
     return finalize(out)
 
 
+def q_mg_top_tools_hour(spark, sf_dir):
+    """Misra-Gries heavy-hitters cascade (round 4, operators/mg.py):
+    minute-grain k=2 summaries of the tool column merged to hour.  Like
+    sketch_kll_hour, the summary itself is only reproducible by running
+    the algorithm, so the driver-checkable surface is the MG GUARANTEE,
+    verified in-query against exact per-bucket tool counts: every
+    retained counter satisfies true-err ≤ weight ≤ true, and every tool
+    whose true count exceeds the bucket's err bound is retained.  The
+    oracle recomputes the per-bucket distinct-tool count from raw and
+    states the booleans (k=2 over a 4-tool column forces real counter
+    cancellation, so the bound is genuinely exercised; exact
+    top_tools_hour is the parity sibling)."""
+    from ts_raster_spark.operators.mg import mg_merge, mg_sketch
+
+    k = 2
+    t = load_turns(spark, sf_dir)
+    sk = mg_merge(mg_sketch(t, "tool", "minute", k=k), "hour", k=k)
+    errs = sk.groupBy("bucket_start").agg(F.max("err").alias("_err"))
+    real = sk.where(F.col("item").isNotNull()).select(
+        "bucket_start", F.col("item").alias("tool"), "weight"
+    )
+    exact = (
+        t.where(F.col("tool").isNotNull())
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_start"), "tool")
+        .agg(F.count("*").cast("long").alias("_cnt"))
+    )
+    j = exact.join(real, ["bucket_start", "tool"], "left").join(errs, "bucket_start")
+    in_bounds = F.when(
+        F.col("weight").isNotNull(),
+        (F.col("weight") <= F.col("_cnt"))
+        & (F.col("weight") >= F.col("_cnt") - F.col("_err")),
+    ).otherwise(F.lit(True))
+    covered = F.when(
+        F.col("_cnt") > F.col("_err"), F.col("weight").isNotNull()
+    ).otherwise(F.lit(True))
+    out = j.groupBy("bucket_start").agg(
+        F.count("*").cast("long").alias("n_tools"),
+        F.min(in_bounds.cast("int")).alias("bounds_ok"),
+        F.min(covered.cast("int")).alias("cover_ok"),
+    )
+    return finalize(out)
+
+
 def q_sketch_quantile_hour(spark, sf_dir):
     """Mergeable-sketch quantile cascade: minute-tier histogram sketches
     merged (bin-count sums) up to hour, quantiles read off the merged
