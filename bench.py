@@ -195,6 +195,23 @@ def run(cpus: int, sf_dir: str, n_synth: int, skip_synth: bool = False, reps: in
             "hll_users_hour_sf",
             lambda: _force(hll_distinct_over_tiers(turns_sf, entity="conv_id")),
         )
+
+        # round-4 sketch family: KLL rank-quantile cascade + Misra-Gries
+        # heavy hitters (minute build -> hour merge -> read)
+        def _kll():
+            from ts_raster_spark.operators.kll import kll_merge, kll_quantiles, kll_sketch
+
+            long_tl = to_long_panel(turns_sf).where(F.col("kind") == "text_len")
+            _force(kll_quantiles(kll_merge(kll_sketch(long_tl, "minute", k=64), "hour", k=64)))
+
+        timed("sketch_kll_hour_sf", _kll)
+
+        def _mg():
+            from ts_raster_spark.operators.mg import mg_merge, mg_sketch
+
+            _force(mg_merge(mg_sketch(turns_sf, "tool", "minute", k=2), "hour", k=2))
+
+        timed("mg_top_tools_hour_sf", _mg)
         if os.path.exists(emb_path):
             emb = spark.read.parquet(emb_path)
             timed("ann_signlsh_sf", lambda: _force(signlsh_topk(emb, list(range(20)), k=3)))
