@@ -110,19 +110,57 @@ def kll_sketch(long_df: DataFrame, tier: str | None, k: int = 64) -> DataFrame:
     bucketed = "bucket_start" in out_keys
 
     def _series(pdf: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        groups = pdf.groupby("bucket_start", sort=True) if bucketed else [(None, pdf)]
-        for b, sub in groups:
-            out = _levels_frame(_build_levels(sub["value"].to_numpy(dtype=np.float64), k))
-            if bucketed:
-                out["bucket_start"] = b
-            frames.append(out)
-        res = pd.concat(frames, ignore_index=True)
+        if not bucketed:
+            res = _levels_frame(_build_levels(pdf["value"].to_numpy(dtype=np.float64), k))
+        else:
+            # vectorized fast path: a bucket with <= k values IS its own
+            # level-0 sketch (no compaction) — emit those rows in bulk;
+            # only over-capacity buckets run the compaction loop.  At
+            # minute grain virtually every bucket takes the fast path,
+            # so the kernel is one pandas groupby + array concat.
+            sizes = pdf.groupby("bucket_start")["value"].transform("size")
+            small = pdf[sizes <= k]
+            frames = [
+                pd.DataFrame(
+                    {
+                        "bucket_start": small["bucket_start"].to_numpy(),
+                        "level": np.zeros(len(small), dtype=np.int32),
+                        "value": small["value"].to_numpy(dtype=np.float64),
+                    }
+                )
+            ]
+            for b, sub in pdf[sizes > k].groupby("bucket_start", sort=True):
+                fr = _levels_frame(_build_levels(sub["value"].to_numpy(dtype=np.float64), k))
+                fr["bucket_start"] = b
+                frames.append(fr)
+            res = pd.concat(frames, ignore_index=True)
         for c in series_keys:
             res[c] = pdf[c].iloc[0]
         return res[out_keys + ["level", "value"]]
 
-    return df.groupBy(*series_keys).applyInPandas(_series, schema=schema)
+    if not bucketed:
+        return df.groupBy(*series_keys).applyInPandas(_series, schema=schema)
+    # SQL routing (round 4): a bucket with <= k values IS its own
+    # level-0 sketch, and at fine grains that is virtually every
+    # bucket — so series whose every bucket fits capacity take a pure
+    # Catalyst identity projection (zero Python, zero Arrow transfer);
+    # only series with an over-capacity bucket go through the kernel.
+    # Routing is a broadcast anti/semi join on the (rare) heavy-series
+    # key set from a map-side-combined count aggregate, exactly like
+    # timeseries.ema.
+    heavy_keys = (
+        df.groupBy(*out_keys).agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > k)
+        .select(*series_keys).distinct()
+    )
+    light_out = df.join(F.broadcast(heavy_keys), series_keys, "left_anti").select(
+        *out_keys,
+        F.lit(0).cast("int").alias("level"),
+        F.col("value").cast("double").alias("value"),
+    )
+    heavy = df.join(F.broadcast(heavy_keys), series_keys, "left_semi")
+    heavy_out = heavy.groupBy(*series_keys).applyInPandas(_series, schema=schema)
+    return light_out.unionByName(heavy_out)
 
 
 def kll_merge(sketch: DataFrame, coarser_tier: str, k: int = 64) -> DataFrame:
@@ -139,8 +177,23 @@ def kll_merge(sketch: DataFrame, coarser_tier: str, k: int = 64) -> DataFrame:
     schema = f"{key_fields}, {SKETCH_FIELDS}"
 
     def _series(pdf: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for b, sub in pdf.groupby("bucket_start", sort=True):
+        # vectorized fast path: a coarse bucket where every level is
+        # already within capacity needs NO compaction — emit its rows
+        # unchanged in bulk; loop only over-capacity buckets (rare:
+        # they need > k items in some level, i.e. busy/mega series)
+        lvl_n = pdf.groupby(["bucket_start", "level"])["value"].transform("size")
+        worst = pdf.assign(_c=lvl_n).groupby("bucket_start")["_c"].transform("max")
+        ok = pdf[worst <= k]
+        frames = [
+            pd.DataFrame(
+                {
+                    "bucket_start": ok["bucket_start"].to_numpy(),
+                    "level": ok["level"].to_numpy().astype(np.int32),
+                    "value": ok["value"].to_numpy(dtype=np.float64),
+                }
+            )
+        ]
+        for b, sub in pdf[worst > k].groupby("bucket_start", sort=True):
             n_levels = int(sub["level"].max()) + 1
             levels = _compact(
                 [
@@ -149,15 +202,29 @@ def kll_merge(sketch: DataFrame, coarser_tier: str, k: int = 64) -> DataFrame:
                 ],
                 k,
             )
-            out = _levels_frame(levels)
-            out["bucket_start"] = b
-            frames.append(out)
+            fr = _levels_frame(levels)
+            fr["bucket_start"] = b
+            frames.append(fr)
         res = pd.concat(frames, ignore_index=True)
         for c in series_keys:
             res[c] = pdf[c].iloc[0]
         return res[keys + ["level", "value"]]
 
-    return d.groupBy(*series_keys).applyInPandas(_series, schema=schema)
+    # SQL routing (round 4), same shape as kll_sketch: a coarse bucket
+    # whose every level is within capacity merges by IDENTITY (its rows
+    # pass through unchanged) — only series containing an over-capacity
+    # (bucket, level) run the compaction kernel.
+    heavy_keys = (
+        d.groupBy(*keys, "level").agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > k)
+        .select(*series_keys).distinct()
+    )
+    light_out = d.join(F.broadcast(heavy_keys), series_keys, "left_anti").select(
+        *keys, F.col("level").cast("int").alias("level"), F.col("value").cast("double").alias("value")
+    )
+    heavy = d.join(F.broadcast(heavy_keys), series_keys, "left_semi")
+    heavy_out = heavy.groupBy(*series_keys).applyInPandas(_series, schema=schema)
+    return light_out.unionByName(heavy_out)
 
 
 def kll_quantiles(sketch: DataFrame, qs: tuple[float, ...] = (0.5, 0.95)) -> DataFrame:

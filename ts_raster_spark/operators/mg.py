@@ -71,95 +71,109 @@ def _mg_from_counts(items: np.ndarray, counts: np.ndarray, k: int):
 MG_FIELDS = "item string, weight long, err long"
 
 
+def _reduce_sql(counts: DataFrame, group_keys: list[str], k: int, carried_err=None) -> DataFrame:
+    """The closed-form MG reduction as PURE window SQL (zero Python):
+    rank counters by (weight desc, item asc); err = the (k+1)-th
+    counter's weight (0 if fewer); survivors = rank ≤ k with
+    weight - err > 0.  Groups whose counters all cancel emit a
+    NULL-item sentinel so the err bound survives.  ``carried_err`` (a
+    column on ``counts``, constant per group) adds error accumulated by
+    earlier summaries (tier merge)."""
+    from pyspark.sql.window import Window
+
+    w_ord = Window.partitionBy(*group_keys).orderBy(
+        F.col("weight").desc(), F.col("item").asc()
+    )
+    w_all = Window.partitionBy(*group_keys)
+    carried = F.col(carried_err) if carried_err else F.lit(0).cast("long")
+    d = (
+        counts.withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn(
+            "_err",
+            F.max(F.when(F.col("_rn") == k + 1, F.col("weight")).otherwise(F.lit(0))).over(w_all),
+        )
+        .withColumn("_keep", (F.col("_rn") <= k) & (F.col("weight") - F.col("_err") > 0))
+        .withColumn("_n_keep", F.sum(F.col("_keep").cast("int")).over(w_all))
+    )
+    survivors = d.where(F.col("_keep")).select(
+        *group_keys,
+        "item",
+        (F.col("weight") - F.col("_err")).cast("long").alias("weight"),
+        (F.col("_err") + carried).cast("long").alias("err"),
+    )
+    sentinels = (
+        d.where((F.col("_rn") == 1) & (F.col("_n_keep") == 0))
+        .select(
+            *group_keys,
+            F.lit(None).cast("string").alias("item"),
+            F.lit(0).cast("long").alias("weight"),
+            (F.col("_err") + carried).cast("long").alias("err"),
+        )
+    )
+    return survivors.unionByName(sentinels)
+
+
 def mg_sketch(
     df: DataFrame, item_col: str, tier: str, k: int = 8,
     keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Build the per-bucket MG summary: ≤ k rows per (*keys,
     bucket_start), each (item, weight, err) with weight ≥ true_count -
-    err and every item of true count > err retained."""
+    err and every item of true count > err retained.
+
+    Pure Catalyst: exact per-(bucket, item) counts via a map-side-
+    combined hash aggregate (the shuffle carries one row per distinct
+    (bucket, item) pair per map partition — partial aggregation IS the
+    per-partition summarization for skewed heavy-hitter data), then the
+    closed-form reduction as rank windows on the aggregated dictionary.
+    No Python anywhere; whole-stage codegen end to end."""
     d = df.withColumn("bucket_start", F.date_trunc(tier, F.col("ts"))).where(
         F.col(item_col).isNotNull()
     )
     out_keys = [*keys, "bucket_start"]
-    key_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in d.schema.fields if f.name in out_keys
+    counts = d.groupBy(*out_keys, F.col(item_col).alias("item")).agg(
+        F.count("*").cast("long").alias("weight")
     )
-    schema = f"{key_fields}, {MG_FIELDS}"
-    series_keys = list(keys)
-
-    def _series(pdf: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for b, sub in pdf.groupby("bucket_start", sort=True):
-            vc = sub[item_col].value_counts()
-            it, w, err = _mg_from_counts(
-                vc.index.to_numpy(dtype=object), vc.to_numpy(dtype=np.int64), k
-            )
-            if len(it) == 0:
-                # all counters cancelled (all-equal counts): keep a
-                # NULL-item sentinel so the bucket's err bound survives
-                it, w = np.asarray([None], dtype=object), np.asarray([0], dtype=np.int64)
-            frames.append(
-                pd.DataFrame(
-                    {"bucket_start": b, "item": it, "weight": w, "err": np.int64(err)}
-                )
-            )
-        res = pd.concat(frames, ignore_index=True)
-        for c in series_keys:
-            res[c] = pdf[c].iloc[0]
-        return res[out_keys + ["item", "weight", "err"]]
-
-    # kernel granularity: the series keys if given (buckets loop inside
-    # the kernel, Arrow overhead amortized), else per bucket — a global
-    # unkeyed sketch has only as many groups as buckets, already coarse
-    group_cols = series_keys if series_keys else ["bucket_start"]
-    return d.groupBy(*group_cols).applyInPandas(_series, schema=schema)
+    return _reduce_sql(counts, out_keys, k)
 
 
 def mg_merge(sketch: DataFrame, coarser_tier: str, k: int = 8) -> DataFrame:
     """Tier cascade: re-bucket, SUM weights per item and errs per source
     bucket (plain aggregates — the shuffle moves ≤ k rows per finer
-    bucket), then re-reduce to k counters in a kernel.  Error bounds
-    add: err_out ≤ Σ err_in + reduction subtraction (tracked exactly in
-    the err column)."""
+    bucket), then re-reduce with the same closed-form rank windows.
+    Error bounds add (Agarwal et al. merge): err_out = Σ err_in +
+    reduction subtraction, tracked exactly in the err column."""
     keys = [c for c in sketch.columns if c not in ("item", "weight", "err")]
     d = sketch.withColumn("_coarse", F.date_trunc(coarser_tier, F.col("bucket_start")))
     group_keys = [c if c != "bucket_start" else "_coarse" for c in keys]
-    # per-source-bucket err summed once per bucket, not once per item row
+    # per-source-bucket err counted once per bucket, not once per item row
     errs = (
         d.groupBy(*group_keys, "bucket_start").agg(F.max("err").alias("_e"))
-        .groupBy(*group_keys).agg(F.sum("_e").alias("_err_in"))
+        .groupBy(*group_keys).agg(F.sum("_e").cast("long").alias("_err_in"))
     )
     summed = (
         d.where(F.col("item").isNotNull())
         .groupBy(*group_keys, "item")
-        .agg(F.sum("weight").alias("weight"))
+        .agg(F.sum("weight").cast("long").alias("weight"))
     )
-    key_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in sketch.schema.fields
-        if f.name in keys
-    )
-    schema = f"{key_fields}, {MG_FIELDS}"
     # errs is the base side (left join): a coarse group whose finer
     # sketches were all sentinels must still emit its err row
     joined = errs.join(summed, group_keys, "left")
-
-    def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
-        real = pdf[pdf["item"].notna()]
-        it, w, err = _mg_from_counts(
-            real["item"].to_numpy(dtype=object),
-            real["weight"].to_numpy(dtype=np.int64),
-            k,
-        )
-        if len(it) == 0:
-            it, w = np.asarray([None], dtype=object), np.asarray([0], dtype=np.int64)
-        out = pd.DataFrame(
-            {"item": it, "weight": w, "err": np.int64(err + int(pdf["_err_in"].iloc[0]))}
-        )
-        for c in keys:
-            src = "_coarse" if c == "bucket_start" else c
-            out[c] = pdf[src].iloc[0]
-        return out[keys + ["item", "weight", "err"]]
-
-    return joined.groupBy(*group_keys).applyInPandas(_reduce, schema=schema)
+    reduced = _reduce_sql(
+        joined.where(F.col("item").isNotNull()), group_keys, k, carried_err="_err_in"
+    )
+    # groups with no real items at all: emit the carried-err sentinel
+    only_sent = joined.groupBy(*group_keys, "_err_in").agg(
+        F.max(F.col("item").isNotNull().cast("int")).alias("_has_real")
+    ).where(F.col("_has_real") == 0).select(
+        *group_keys,
+        F.lit(None).cast("string").alias("item"),
+        F.lit(0).cast("long").alias("weight"),
+        F.col("_err_in").cast("long").alias("err"),
+    )
+    out = reduced.unionByName(only_sent)
+    renames = {"_coarse": "bucket_start"}
+    for old, new in renames.items():
+        if old in out.columns:
+            out = out.withColumnRenamed(old, new)
+    return out
