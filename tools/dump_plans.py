@@ -153,12 +153,7 @@ AUDITS = [
     (
         "ema_turns",
         Q.q_ema_turns,
-        "Routed EMA (round 4): short groups take the closed-form "
-        "rescaled-cumsum window, mega-groups the pandas-ewm kernel; "
-        "routing is a BroadcastExchange of the >threshold key set from "
-        "a map-side-combined count (partial_count) — the bulk data is "
-        "hash-shuffled once (short-branch window), the kernel branch "
-        "shuffles only mega rows, never the full input twice.",
+        "Routed EMA (round 4): short groups take the closed-form rescaled-cumsum window, mega-groups the pandas-ewm kernel; routing is a BroadcastExchange of the >threshold key set from a map-side-combined count (partial_count). Downstream of the turns derivation the bulk rows are hash-shuffled once (short-branch window) and the kernel branch shuffles only mega rows. The derivation lineage itself is planned once per union branch — the inherent cost of branch routing over an uncached view; at scale the input is a stored tier table, so each branch is a plain scan with its own pushdown.",
     ),
     (
         "sliding_counts_hll",
