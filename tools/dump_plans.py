@@ -167,13 +167,13 @@ AUDITS = [
     (
         "sketch_kll_hour",
         Q.q_sketch_kll_hour,
-        "KLL cascade (round 4): raw rows are kernel-grouped ONCE "
-        "(build); every Exchange after that point moves only SKETCH "
-        "rows (<=k*log2(n/k) per bucket) — the merge kernel's "
-        "re-exchange and the quantile-window exchange are both over "
-        "the compacted item table, never raw turns; quantile walk + "
-        "in-query rank verification are window SQL + one aggregate "
-        "over the raw join, no extra kernel.",
+        "KLL cascade (round 4): SQL-routed — series whose every bucket "
+        "fits capacity take a pure-Catalyst level-0 identity projection "
+        "(no Arrow transfer at all); only over-capacity series reach "
+        "the build/merge kernels. Every Exchange after the build moves "
+        "only SKETCH rows (<=k*log2(n/k) per bucket), never raw turns; "
+        "quantile walk + in-query rank verification are window SQL + "
+        "one aggregate over the raw join, no extra kernel.",
     ),
     (
         "lttb_downsample",
