@@ -100,14 +100,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": Q.q_pack_documents,
         "curate_corpus": Q.q_curate_corpus,
         "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
-        "dedup_components": Q.q_dedup_components,
         "ann_signlsh": Q.q_ann_signlsh,
         "tfidf_top_terms": Q.q_tfidf_top_terms,
-        "retention_ttl_hour": Q.q_retention_ttl_hour,
         "stream_rollup_minute": Q.q_stream_rollup_minute,
         "sketch_quantile_hour": Q.q_sketch_quantile_hour,
         "stream_stateful_counts": Q.q_stream_stateful_counts,
         "late_data_merge_hour": Q.q_late_data_merge_hour,
+        # round-4 sketches (KLL rank cascade, Misra-Gries heavy
+        # hitters): first driver attestation via their claim-style
+        # oracles (bounds verified in-query, constants stated)
+        "sketch_kll_hour": Q.q_sketch_kll_hour,
+        "mg_top_tools_hour": Q.q_mg_top_tools_hour,
         # round-4 promotions: first driver attestation (full value
         # oracles, previously 3-SF local-gate green + pytest only)
         "dedup_keep_canonical": Q.q_dedup_keep_canonical,
@@ -147,6 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window feature_relevance_fdr), ann_ivf (no_oracle by nature —
         # k-means isn't SQL-reproducible; recall pytest-asserted).
         "long_panel": Q.q_long_panel,
+        "dedup_components": Q.q_dedup_components,
+        "retention_ttl_hour": Q.q_retention_ttl_hour,
         "role_tool_mix_conv": Q.q_role_tool_mix_conv,
         "panel_lag1": Q.q_panel_lag1,
         "gapfill_linear_hour": Q.q_gapfill_linear_hour,
@@ -180,12 +185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_names_dim": Q.q_feature_names_dim,
         "feature_relevance": Q.q_feature_relevance,
         "ann_ivf": Q.q_ann_ivf,
-        # NEW round 4 (tail this round; rotate into the window next):
-        # deterministic KLL rank-sketch / Misra-Gries heavy-hitters
-        # cascades with in-query bound verification (claim-style
-        # oracles, like ann_ivf)
-        "sketch_kll_hour": Q.q_sketch_kll_hour,
-        "mg_top_tools_hour": Q.q_mg_top_tools_hour,
     }
 
 

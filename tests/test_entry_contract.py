@@ -54,9 +54,11 @@ ALLOWED_TAIL = {
     "balanced_panel_check",
     "export_wide_features",
     "session_windows",
-    # NEW round 4, full claim oracle, waiting on window space
-    "sketch_kll_hour",
-    "mg_top_tools_hour",
+    # swapped out late round 4 for the two new sketches: 3 green
+    # driver rows each, family siblings in-window (dedup_minhash_lsh +
+    # dedup_keep_canonical; late_data_merge_hour)
+    "dedup_components",
+    "retention_ttl_hour",
 }
 
 # operators that were unattested in round 2 precisely because they sat
@@ -98,6 +100,8 @@ MUST_BE_IN_WINDOW = {
     "stream_sliding_counts",
     "stream_session_windows",
     "anomaly_turns",
+    "sketch_kll_hour",
+    "mg_top_tools_hour",
 }
 
 
