@@ -65,21 +65,59 @@ def test_ema_matches_pandas(spark):
         np.testing.assert_allclose(have, want, rtol=1e-9)
 
 
-def test_ema_plan_shape(spark, turns_small):
-    """Routing is broadcast semi/anti on the mega-key set: the per-key
-    counts aggregate map-side-combines (partial_count before its
-    exchange), the key set moves by BroadcastExchange, and at most 3
-    hash exchanges exist total (tiny counts, short-branch window,
-    long-branch kernel over mega rows only) — the bulk data is hash-
-    shuffled once, not once per branch.  The counts subplan is planned
-    once per branch (4th exchange) but both copies are the tiny
-    post-combine key set, not input data."""
+def test_ema_plan_shape_no_mega(spark, turns_small):
+    """When the eager mega-key probe comes back empty (the common case),
+    ema returns the PURE closed-form plan: one ordered window over one
+    hash exchange — no join, no broadcast, no empty
+    FlatMapGroupsInPandas stage, upstream scanned once."""
     t = turns_small.withColumn("value", F.length("text").cast("double"))
     plan = ema(t, 0.3)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_ema_plan_shape_with_mega(spark, turns_small):
+    """When mega keys exist, routing is broadcast semi/anti on the
+    COLLECTED key set (a LocalTableScan — the counting subplan never
+    re-embeds in either branch): the bulk data is hash-shuffled once
+    for the short-branch window, the kernel shuffle moves mega rows
+    only, and the key set moves by BroadcastExchange."""
+    t = turns_small.withColumn("value", F.length("text").cast("double"))
+    plan = ema(t, 0.3, max_closed_form_n=2)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "BroadcastExchange" in plan, plan
-    assert "partial_count" in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    # the count aggregate ran eagerly at plan-build time; it must NOT
+    # appear inside the returned plan
+    assert "partial_count" not in plan, plan
+
+
+def test_ema_threshold_derived_from_alpha(spark):
+    """Large alphas overflow the closed form's (1-a)^(-t) rescale sooner
+    (ln(DBL_MAX)~709.8): for alpha=0.6 the safe length is
+    floor(700/ln(1/0.4)) = 763, so a 1000-row group must route to the
+    kernel even when the caller leaves max_closed_form_n at 1000 — and
+    the result stays finite and matches pandas ewm."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 1000
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c_big"] * n,
+            "turn_idx": range(n),
+            "ts": pd.date_range("2025-01-01", periods=n, freq="s"),
+            "value": rng.normal(50.0, 10.0, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = ema(df, alpha=0.6).orderBy("turn_idx").toPandas()
+    have = got["ema"].to_numpy()
+    assert np.isfinite(have).all()
+    want = pdf["value"].ewm(alpha=0.6, adjust=True).mean().to_numpy()
+    np.testing.assert_allclose(have, want, rtol=1e-9)
 
 
 def test_ema_mega_conversation_finite(spark):

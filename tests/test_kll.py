@@ -148,6 +148,6 @@ def test_spark_cascade_matches_local(spark, turns_small):
         row = got[(got.conv_id == conv) & (got.bucket_start == hour)]
         assert len(row) == 1, (conv, hour)
         row = row.iloc[0]
-        assert row["turn_count"] == len(g)
+        assert row["total_weight"] == len(g)
         for q, col in ((0.5, "q50_kll"), (0.95, "q95_kll")):
             assert row[col] == _quantile_from_levels(levels, q), (conv, hour, col)

@@ -172,9 +172,14 @@ def ema(
       The rescaled cumsum keeps the whole computation inside ONE
       ordered window over the existing conv_id partitioning.  Numeric
       range bounds the path: the rescale term (1-a)^(-i) grows as
-      e^(i*ln(1/(1-a))) and overflows float64 near i ~ 1900 for a=0.3,
-      hence the routing threshold (1000 leaves >2x headroom down to
-      a ~ 0.17; for smaller alphas pass a lower threshold).
+      e^(i*ln(1/(1-a))) and overflows float64 (ln(DBL_MAX) ~ 709.8)
+      near i ~ 1900 for a=0.3 but already near i ~ 960 for a=0.52 —
+      LARGER alphas overflow sooner.  The effective threshold is
+      therefore derived from alpha at call time:
+      min(max_closed_form_n, floor(700 / ln(1/(1-a)))), so the closed
+      form is overflow-safe for ANY alpha regardless of the caller's
+      ``max_closed_form_n`` (which acts as an upper cap, not the bound
+      itself).
 
     - longer groups (mega-conversations): an O(n) streaming pandas-ewm
       ``applyInPandas`` kernel — Arrow-batched, one group per call,
@@ -187,17 +192,33 @@ def ema(
     are the outlier conversations) broadcasts, and only the short
     branch re-shuffles the bulk of the data for its ordered window.  A
     count-window route would shuffle the FULL input once per branch.
+    The mega-key set is resolved EAGERLY (it is tiny by construction —
+    it broadcasts anyway): when it is empty, the function returns the
+    pure closed-form plan with NO join and NO kernel stage, so the
+    common case plans/scans the upstream once instead of three times
+    and never schedules an empty FlatMapGroupsInPandas; when non-empty,
+    the collected keys become a local relation so neither branch's plan
+    re-embeds the counting subplan.
     DuckDB twin runs the identical closed-form arithmetic in the
     identical order (gate conversations are far below the threshold),
     so the normalization contract hashes equal.
     """
+    import math
+
     a = float(alpha)
     klist = list(keys)
-    mega_keys = (
+    # overflow-safe closed-form length: (1-a)^(-t) < e^700 < DBL_MAX
+    if a >= 1.0 - 1e-12:
+        safe_n = 1
+    else:
+        safe_n = max(1, int(700.0 / -math.log1p(-a)))
+    threshold = min(int(max_closed_form_n), safe_n)
+    mega_rows = (
         df.groupBy(*klist)
         .agg(F.count("*").alias("_gn"))
-        .where(F.col("_gn") > int(max_closed_form_n))
+        .where(F.col("_gn") > threshold)
         .select(*klist)
+        .collect()
     )
     # short path: closed form, pure Catalyst
     w = _wo(*keys)
@@ -206,6 +227,11 @@ def ema(
     csum = F.sum(scaled).over(w.rowsBetween(Window.unboundedPreceding, 0))
     num = csum * F.pow(F.lit(1.0 - a), t)
     den = (1.0 - F.pow(F.lit(1.0 - a), t + 1.0)) / a
+    if not mega_rows:
+        # common case: every group fits the closed form — one scan, one
+        # ordered window, zero joins, zero Python
+        return df.withColumn(out_col, num / den)
+    mega_keys = df.sparkSession.createDataFrame(mega_rows, schema=df.select(*klist).schema)
     short = df.join(F.broadcast(mega_keys), klist, "left_anti").withColumn(out_col, num / den)
     # long path: streaming pandas ewm kernel (adjust=True recursion:
     # num_t = x_t + (1-a)*num_{t-1}; den_t = 1 + (1-a)*den_{t-1})

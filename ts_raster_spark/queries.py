@@ -723,7 +723,7 @@ def q_sketch_kll_hour(spark, sf_dir):
 
     out = joined.groupBy("conv_id", "kind", "bucket_start").agg(
         n.cast("long").alias("n_raw"),
-        (F.max("turn_count") == n).cast("int").alias("count_ok"),
+        (F.max("total_weight") == n).cast("int").alias("count_ok"),
         _in_bound("q50_kll", 0.5).alias("q50_in_bound"),
         _in_bound("q95_kll", 0.95).alias("q95_in_bound"),
     )
