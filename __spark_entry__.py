@@ -544,13 +544,13 @@ FROM long_panel
         "compress_roundtrip": f"""{LONG_CTE}
 SELECT conv_id, kind,
     CAST(count(*) AS BIGINT) AS n_points,
-    {sql_r4("round(sum(value) + 1e-9, 2)")} AS sum_decoded,
+    {sql_r4("sum(value)")} AS sum_decoded,
     {sql_r4("min(value)")} AS min_decoded,
     {sql_r4("max(value)")} AS max_decoded,
     strftime(min(ts), '{TS_FMT_US}') AS first_ts,
     strftime(max(ts), '{TS_FMT_US}') AS last_ts,
     CAST(count(*) AS BIGINT) AS n_orig,
-    {sql_r4("round(sum(value) + 1e-9, 2)")} AS sum_orig,
+    {sql_r4("sum(value)")} AS sum_orig,
     CAST(1 AS INTEGER) AS roundtrip_ok
 FROM long_panel WHERE kind IN ('text_len', 'latency_s')
 GROUP BY conv_id, kind

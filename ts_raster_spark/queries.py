@@ -928,11 +928,13 @@ def q_compress_roundtrip(spark, sf_dir):
 
     long_df = load_long(spark, sf_dir).where(F.col("kind").isin("text_len", "latency_s"))
     blocks = compress_blocks(long_df, block="day")
+    # sums carry the surface-standard r4 contract (4-dp + sig-digit cap,
+    # functions/norm.py — round 5 tightened from an ad-hoc 2-dp round);
+    # decode is bit-exact so only order-of-summation noise (~1e-7 abs at
+    # these magnitudes) needs absorbing, far inside the 1e-4 quantum
     decoded = decompress_blocks(blocks).groupBy("conv_id", "kind").agg(
         F.count("*").cast("long").alias("n_points"),
-        # +1e-9 nudge: same half-boundary contract as norm.r4, at the
-        # 2-dp quantum (mirrored in the DuckDB twin)
-        F.round(F.sum("value") + 1e-9, 2).alias("sum_decoded"),
+        r4(F.sum("value")).alias("sum_decoded"),
         F.min("value").alias("min_decoded"),
         F.max("value").alias("max_decoded"),
         F.min("ts").alias("first_ts"),
@@ -940,7 +942,7 @@ def q_compress_roundtrip(spark, sf_dir):
     )
     original = long_df.groupBy("conv_id", "kind").agg(
         F.count("*").cast("long").alias("n_orig"),
-        F.round(F.sum("value") + 1e-9, 2).alias("sum_orig"),
+        r4(F.sum("value")).alias("sum_orig"),
     )
     return finalize(
         decoded.join(original, ["conv_id", "kind"])
