@@ -110,3 +110,98 @@ def test_spark_cascade_matches_local(spark, turns_small):
                 assert item in got
             if item in got:
                 assert cnt - err_out <= got[item] <= cnt
+
+
+def _hicard_df(spark, n=40000, n_items=3000, n_parts=8, seed=21):
+    """High-cardinality item stream over a 2-hour span, n_parts
+    partitions — the shape where the exact build's pre-shuffle
+    dictionary is the problem mg_partials exists to cap."""
+    rng = np.random.RandomState(seed)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2025-03-01 00:00:00")
+            + pd.to_timedelta(rng.randint(0, 7200, size=n), unit="s"),
+            "item": np.char.add("u", (rng.zipf(1.2, size=n) % n_items).astype(str)),
+        }
+    )
+    return spark.createDataFrame(pdf).repartition(n_parts)
+
+
+def _assert_mg_bound(sk_pdf, exact):
+    """Classic MG contract vs exact counts: weight ∈ [true−err, true],
+    and every item with true count > err retained."""
+    for bucket, g in exact.groupby("bucket_start"):
+        rows = sk_pdf[sk_pdf.bucket_start == bucket]
+        assert len(rows), bucket
+        err = int(rows["err"].max())
+        got = {
+            r["item"]: int(r["weight"])
+            for _, r in rows.iterrows()
+            if r["item"] is not None
+        }
+        vc = dict(zip(g["item"], g["cnt"]))
+        n = sum(vc.values())
+        assert err < n, (bucket, err, n)
+        for item, cnt in vc.items():
+            if cnt > err:
+                assert item in got, (bucket, item, cnt, err)
+            if item in got:
+                assert cnt - err <= got[item] <= cnt, (bucket, item)
+
+
+def test_mg_capped_bound_high_cardinality(spark):
+    """mg_sketch_capped over 3000-item data, 8 partitions, cap far below
+    cardinality: the error bound vs exact per-hour counts must hold even
+    though every partition's partial summary was compacted."""
+    from ts_raster_spark.operators.mg import mg_sketch_capped
+
+    df = _hicard_df(spark)
+    sk = mg_sketch_capped(df, "item", "hour", k=8, partition_cap=64).toPandas()
+    exact = (
+        df.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_start"), "item")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .toPandas()
+    )
+    _assert_mg_bound(sk, exact)
+
+
+def test_mg_capped_two_level_merge_bound(spark):
+    """Capped minute-grain partials → mg_merge to hour: the bound must
+    survive BOTH summarization levels (partition compaction + tier
+    merge), each adding its tracked error."""
+    from ts_raster_spark.operators.mg import mg_merge, mg_sketch_capped
+
+    df = _hicard_df(spark, seed=22)
+    k = 8
+    sk = mg_merge(
+        mg_sketch_capped(df, "item", "minute", k=k, partition_cap=64), "hour", k=k
+    ).toPandas()
+    exact = (
+        df.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_start"), "item")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .toPandas()
+    )
+    _assert_mg_bound(sk, exact)
+
+
+def test_mg_partials_rows_capped(spark):
+    """The pre-shuffle row count is bounded by (cap+1)·buckets·partitions
+    and far below the distinct (bucket, item) dictionary the exact build
+    would shuffle; the plan's pre-shuffle node is the Arrow kernel."""
+    from ts_raster_spark.operators.mg import mg_partials, mg_sketch_capped
+
+    df = _hicard_df(spark, seed=23)
+    cap, n_parts = 16, 8
+    partials = mg_partials(df, "item", "hour", partition_cap=cap)
+    n_rows = partials.count()
+    n_buckets = 2  # 2-hour span at hour grain
+    assert n_rows <= (cap + 1) * n_buckets * n_parts, n_rows
+    n_dict = (
+        df.select(F.date_trunc("hour", F.col("ts")).alias("b"), "item").distinct().count()
+    )
+    assert n_rows < n_dict / 4, (n_rows, n_dict)
+    plan = (
+        mg_sketch_capped(df, "item", "hour", k=8, partition_cap=cap)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan, plan

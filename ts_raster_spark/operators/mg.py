@@ -159,6 +159,18 @@ def mg_merge(sketch: DataFrame, coarser_tier: str, k: int = 8) -> DataFrame:
     # errs is the base side (left join): a coarse group whose finer
     # sketches were all sentinels must still emit its err row
     joined = errs.join(summed, group_keys, "left")
+    out = _finish_merge(joined, group_keys, k)
+    if "_coarse" in out.columns:
+        out = out.withColumnRenamed("_coarse", "bucket_start")
+    return out
+
+
+def _finish_merge(joined: DataFrame, group_keys: list[str], k: int) -> DataFrame:
+    """Shared tail of every MG merge: ``joined`` holds (group_keys,
+    item nullable, weight, _err_in) — summed per-item weights left-joined
+    onto per-group carried error.  Applies the closed-form reduction with
+    the carried error and re-emits sentinel rows for groups whose inputs
+    were all sentinels, so the err bound survives any merge topology."""
     reduced = _reduce_sql(
         joined.where(F.col("item").isNotNull()), group_keys, k, carried_err="_err_in"
     )
@@ -171,9 +183,129 @@ def mg_merge(sketch: DataFrame, coarser_tier: str, k: int = 8) -> DataFrame:
         F.lit(0).cast("long").alias("weight"),
         F.col("_err_in").cast("long").alias("err"),
     )
-    out = reduced.unionByName(only_sent)
-    renames = {"_coarse": "bucket_start"}
-    for old, new in renames.items():
-        if old in out.columns:
-            out = out.withColumnRenamed(old, new)
-    return out
+    return reduced.unionByName(only_sent)
+
+
+def _compact_counters(d: dict, cap: int) -> tuple[dict, int]:
+    """Closed-form MG reduction on a python counter dict: rank by
+    (weight desc, item asc), subtract the (cap+1)-th weight, drop
+    non-positive.  Same rule as ``_mg_from_counts`` / ``_reduce_sql``."""
+    if len(d) <= cap:
+        return d, 0
+    ranked = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
+    err = int(ranked[cap][1])
+    kept = {i: w - err for i, w in ranked[:cap] if w - err > 0}
+    return kept, err
+
+
+def mg_partials(
+    df: DataFrame, item_col: str, tier: str, keys: tuple[str, ...] = (),
+    partition_cap: int = 256,
+) -> DataFrame:
+    """Per-PARTITION MG partial summaries with bounded pre-shuffle rows.
+
+    The pure-Catalyst build (``mg_sketch``) relies on map-side partial
+    aggregation, whose pre-shuffle state is one row per distinct
+    (bucket, item) per map partition — fine for a 4-value tool column,
+    but for unbounded-cardinality items (URLs, n-grams) that dictionary
+    IS the shuffle.  This path caps it: an Arrow ``mapInPandas`` kernel
+    folds each partition's (group, item) counts through an MG counter
+    set capped at ``partition_cap`` counters per (*keys, bucket_start)
+    group, compacting after every batch, and emits
+
+    - ≤ ``partition_cap`` (item, weight, err=0) rows per group per
+      partition, plus
+    - one NULL-item sentinel row carrying the partition's accumulated
+      subtraction error for that group,
+
+    so the shuffle moves ≤ (cap+1)·groups·partitions rows regardless of
+    item cardinality.  Per-partition memory is likewise bounded at
+    ~2·cap counters per live group.  The Agarwal et al. merge
+    (``mg_sketch_capped``) then restores the global summary with the
+    exact bound: any item's undercount ≤ its group's summed err, and any
+    item with true count > err is retained (pytest-asserted through the
+    two-level merge, tests/test_mg.py).
+
+    The summary is order-dependent across batch boundaries (unlike
+    ``mg_sketch``'s canonical-order build), but the emitted ERROR BOUND
+    is exact for any order, which is the contract the gate checks —
+    keep ``mg_sketch`` as the deterministic oracle path."""
+    d = df.withColumn("bucket_start", F.date_trunc(tier, F.col("ts"))).where(
+        F.col(item_col).isNotNull()
+    )
+    klist = list(keys)
+    sel = d.select(*klist, "bucket_start", F.col(item_col).cast("string").alias("item"))
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in sel.schema.fields
+        if f.name in (*klist, "bucket_start")
+    )
+    schema = f"{key_fields}, {MG_FIELDS}"
+    group_cols = [*klist, "bucket_start"]
+    cap = int(partition_cap)
+
+    def _partial(batches):
+        agg: dict = {}
+        errs: dict = {}
+        touched_any = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            touched_any = True
+            counts = pdf.groupby(group_cols, sort=False)["item"].value_counts()
+            for idx, c in counts.items():
+                g, item = idx[:-1], idx[-1]
+                bucket = agg.setdefault(g, {})
+                bucket[item] = bucket.get(item, 0) + int(c)
+            for g, bucket in agg.items():
+                if len(bucket) > cap:
+                    agg[g], e = _compact_counters(bucket, cap)
+                    errs[g] = errs.get(g, 0) + e
+        if not touched_any:
+            return
+        out_keys, out_items, out_w, out_e = [], [], [], []
+        for g in sorted(agg):
+            bucket, e = agg[g], errs.get(g, 0)
+            for item in sorted(bucket):
+                out_keys.append(g)
+                out_items.append(item)
+                out_w.append(bucket[item])
+                out_e.append(0)
+            if e > 0 or not bucket:
+                out_keys.append(g)
+                out_items.append(None)
+                out_w.append(0)
+                out_e.append(e)
+        frame = {c: [g[i] for g in out_keys] for i, c in enumerate(group_cols)}
+        frame["item"] = out_items
+        frame["weight"] = np.asarray(out_w, dtype=np.int64)
+        frame["err"] = np.asarray(out_e, dtype=np.int64)
+        yield pd.DataFrame(frame)
+
+    return sel.mapInPandas(_partial, schema=schema)
+
+
+def mg_sketch_capped(
+    df: DataFrame, item_col: str, tier: str, k: int = 8,
+    keys: tuple[str, ...] = (), partition_cap: int | None = None,
+) -> DataFrame:
+    """``mg_sketch`` with BOUNDED pre-shuffle rows for unbounded-
+    cardinality item columns: per-partition capped MG partials
+    (``mg_partials``, default cap 32·k) merged by the standard
+    mergeable-summaries reduction — sum weights per item, sum each
+    partition's carried error per group, subtract the (k+1)-th merged
+    weight.  Output schema and error-bound contract are identical to
+    ``mg_sketch`` (weight ∈ [true−err, true]; items with true count >
+    err retained); the summary itself is partition-layout dependent, so
+    the deterministic ``mg_sketch`` remains the gate-oracle path."""
+    cap = int(partition_cap or 32 * k)
+    partials = mg_partials(df, item_col, tier, keys=keys, partition_cap=cap)
+    out_keys = [*keys, "bucket_start"]
+    carried = partials.groupBy(*out_keys).agg(F.sum("err").cast("long").alias("_err_in"))
+    summed = (
+        partials.where(F.col("item").isNotNull())
+        .groupBy(*out_keys, "item")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+    )
+    joined = carried.join(summed, out_keys, "left")
+    return _finish_merge(joined, out_keys, k)
