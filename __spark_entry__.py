@@ -63,56 +63,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tools/check_correctness.py) still runs the full dict at three SFs."""
     return {
         # ---- driver window (first 50) ------------------------------------
-        # Rotation policy (round 4): entries whose code changed this
-        # round stay for re-attestation (rollup_hour_full, conv_features,
-        # conv_features_ext, asof_join, compress_roundtrip); entries first
-        # attested in r3 keep a slot for a second row; one representative
-        # per surface family stays (gapfill/mask/cascade/sketch/retention/
-        # merge/streaming/dedup/components/ANN/text); everything green in
-        # r2+r3 with an in-window family sibling moves to the tail, freeing
-        # 20 slots for the 19 never-driver-attested round-3 queries plus
-        # the new sliding_counts_hll. Every tail entry still runs in the
-        # 3-SF local gate (tools/check_correctness.py).
+        # Rotation policy (round 5): the 14 tail queries whose last
+        # driver rows were r1/r2 (stale vs the r3/r4 shared-code edits
+        # under them) cycle back through the window, together with
+        # ann_ivf (the only entry never driver-green — its recall-claim
+        # upgrade postdates its r1/r2 no_oracle rows) and the two new
+        # day-grain double-cascade sketch queries. Every r4-first-
+        # attested entry keeps its slot for a second green row; entries
+        # whose code changed this round stay (compress_roundtrip 4-dp
+        # contract, sketch_kll_hour total_weight rename, ema_turns
+        # routing, mg_top_tools_hour shared merge tail). 16 veterans
+        # with >=2 green rows and an in-window family sibling move to
+        # the tail (mapping in the tail comment). The local gate
+        # (tools/check_correctness.py) still runs the full dict at
+        # three SFs.
+        # -- veterans kept (flagship / no in-window sibling) --
         "turns_derivation": Q.q_turns_derivation,
-        "rollup_hour_full": Q.q_rollup_hour_full,
-        "conv_features": Q.q_conv_features,
         "conv_features_ext": Q.q_conv_features_ext,
-        # Arrow-kernel path: value-checked against a checked-in golden
-        # parquet (tools/make_golden_cwt.py — CWT is not SQL-expressible
-        # but IS deterministic).
         "kernel_features_cwt": Q.q_kernel_features_cwt,
-        # round 4: now value-checked (decoded-stream aggregates vs the
-        # twin's recomputation from raw; blocks stay pytest-bit-exact)
         "compress_roundtrip": Q.q_compress_roundtrip,
-        "asof_join": Q.q_asof_join,
         "time_weighted_avg": Q.q_time_weighted_avg,
-        "stratified_sample": Q.q_stratified_sample,
-        "moving_quantiles": Q.q_moving_quantiles,
-        "feature_relevance_fdr": Q.q_feature_relevance_fdr,
-        "mask_rollup_hour": Q.q_mask_rollup_hour,
-        "cascade_hour_from_minute": Q.q_cascade_hour_from_minute,
-        "gapfill_locf_hour": Q.q_gapfill_locf_hour,
         "counter_rate_hour": Q.q_counter_rate_hour,
         "state_durations": Q.q_state_durations,
         "heartbeat_uptime": Q.q_heartbeat_uptime,
-        "decontaminate": Q.q_decontaminate,
-        "chunk_documents": Q.q_chunk_documents,
         "pack_documents": Q.q_pack_documents,
         "curate_corpus": Q.q_curate_corpus,
-        "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
-        "ann_signlsh": Q.q_ann_signlsh,
-        "tfidf_top_terms": Q.q_tfidf_top_terms,
         "stream_rollup_minute": Q.q_stream_rollup_minute,
-        "sketch_quantile_hour": Q.q_sketch_quantile_hour,
-        "stream_stateful_counts": Q.q_stream_stateful_counts,
         "late_data_merge_hour": Q.q_late_data_merge_hour,
-        # round-4 sketches (KLL rank cascade, Misra-Gries heavy
-        # hitters): first driver attestation via their claim-style
-        # oracles (bounds verified in-query, constants stated)
+        # -- round-4 first attestations: second green row --
         "sketch_kll_hour": Q.q_sketch_kll_hour,
         "mg_top_tools_hour": Q.q_mg_top_tools_hour,
-        # round-4 promotions: first driver attestation (full value
-        # oracles, previously 3-SF local-gate green + pytest only)
         "dedup_keep_canonical": Q.q_dedup_keep_canonical,
         "repetition_stats": Q.q_repetition_stats,
         "duplicate_lines": Q.q_duplicate_lines,
@@ -133,22 +113,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_counts": Q.q_stream_sliding_counts,
         "stream_session_windows": Q.q_stream_session_windows,
         "anomaly_turns": Q.q_anomaly_turns,
+        # -- round-5 re-attestations: last driver rows were r1/r2 --
+        "ann_ivf": Q.q_ann_ivf,
+        "moving_stats": Q.q_moving_stats,
+        "sample_turns": Q.q_sample_turns,
+        "unmask_conv_counts": Q.q_unmask_conv_counts,
+        "rollup_minute_core": Q.q_rollup_minute_core,
+        "rollup_day_full": Q.q_rollup_day_full,
+        "cascade_day_from_minute": Q.q_cascade_day_from_minute,
+        "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
+        "latency_stats_hour": Q.q_latency_stats_hour,
+        "turn_count_hour": Q.q_turn_count_hour,
+        "gapfill_sentinel_hour": Q.q_gapfill_sentinel_hour,
+        "autocorr_lags": Q.q_autocorr_lags,
+        "feature_names_dim": Q.q_feature_names_dim,
+        "feature_relevance": Q.q_feature_relevance,
+        # -- round-5 additions: day-grain double cascades --
+        "sketch_kll_day": Q.q_sketch_kll_day,
+        "mg_top_tools_day": Q.q_mg_top_tools_day,
         # ---- end of driver window (50) — attested-elsewhere tail ----
-        # anomaly_turns closes the window. Every tail entry has >=1 green
-        # driver CORRECTNESS row (r1-r3) and an in-window family sibling,
-        # OR is a parity/recall baseline: moving_stats (frame-spec rolling
-        # -> moving_quantiles, moving_stats_time), sample_turns (hash
-        # sampling -> stratified_sample), unmask_conv_counts (outer-join
-        # unmask -> mask_rollup_hour), rollup_minute_core + rollup_day_full
-        # (same 39-agg path -> rollup_hour_full), cascade_day_from_minute
-        # (tier algebra -> cascade_hour), dedup_embedding_cosine
-        # (all-pairs baseline -> blocked), latency_stats_hour +
-        # turn_count_hour (column subsets of rollup_hour_full),
-        # gapfill_sentinel_hour (third branch of the gapfill op),
-        # autocorr_lags (general-lag variant of in-rollup autocorrelation),
-        # feature_names_dim (dim sink), feature_relevance (superseded by
-        # in-window feature_relevance_fdr), ann_ivf (no_oracle by nature —
-        # k-means isn't SQL-reproducible; recall pytest-asserted).
+        # mg_top_tools_day closes the window. Every tail entry has >=2
+        # green driver rows AND an in-window family sibling attesting
+        # the same surface: rollup_hour_full + conv_features (same
+        # 39-agg path -> rollup_minute_core, rollup_day_full,
+        # conv_features_ext), asof_join (-> asof_tolerance),
+        # stratified_sample (-> sample_turns), moving_quantiles (->
+        # moving_stats, moving_stats_time), feature_relevance_fdr (->
+        # feature_relevance), mask_rollup_hour (-> unmask_conv_counts),
+        # cascade_hour_from_minute (-> cascade_day_from_minute),
+        # gapfill_locf_hour (-> gapfill_sentinel_hour), decontaminate +
+        # dedup_minhash_lsh (-> dedup_keep_canonical, curate_corpus),
+        # chunk_documents (-> pack_documents), ann_signlsh (-> ann_ivf,
+        # dedup_embedding_cosine), tfidf_top_terms (-> repetition_stats,
+        # duplicate_lines), stream_stateful_counts (->
+        # stream_dedup_exact and the three other stream queries),
+        # sketch_quantile_hour (-> sketch_kll_hour/day), plus the
+        # r3/r4-demoted set documented in earlier rounds.
+        "rollup_hour_full": Q.q_rollup_hour_full,
+        "conv_features": Q.q_conv_features,
+        "asof_join": Q.q_asof_join,
+        "stratified_sample": Q.q_stratified_sample,
+        "moving_quantiles": Q.q_moving_quantiles,
+        "feature_relevance_fdr": Q.q_feature_relevance_fdr,
+        "mask_rollup_hour": Q.q_mask_rollup_hour,
+        "cascade_hour_from_minute": Q.q_cascade_hour_from_minute,
+        "gapfill_locf_hour": Q.q_gapfill_locf_hour,
+        "decontaminate": Q.q_decontaminate,
+        "chunk_documents": Q.q_chunk_documents,
+        "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
+        "ann_signlsh": Q.q_ann_signlsh,
+        "tfidf_top_terms": Q.q_tfidf_top_terms,
+        "stream_stateful_counts": Q.q_stream_stateful_counts,
+        "sketch_quantile_hour": Q.q_sketch_quantile_hour,
         "long_panel": Q.q_long_panel,
         "dedup_components": Q.q_dedup_components,
         "retention_ttl_hour": Q.q_retention_ttl_hour,
@@ -171,20 +187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_panel_check": Q.q_balanced_panel_check,
         "export_wide_features": Q.q_export_wide_features,
         "session_windows": Q.q_session_windows,
-        "moving_stats": Q.q_moving_stats,
-        "sample_turns": Q.q_sample_turns,
-        "unmask_conv_counts": Q.q_unmask_conv_counts,
-        "rollup_minute_core": Q.q_rollup_minute_core,
-        "rollup_day_full": Q.q_rollup_day_full,
-        "cascade_day_from_minute": Q.q_cascade_day_from_minute,
-        "dedup_embedding_cosine": Q.q_dedup_embedding_cosine,
-        "latency_stats_hour": Q.q_latency_stats_hour,
-        "turn_count_hour": Q.q_turn_count_hour,
-        "gapfill_sentinel_hour": Q.q_gapfill_sentinel_hour,
-        "autocorr_lags": Q.q_autocorr_lags,
-        "feature_names_dim": Q.q_feature_names_dim,
-        "feature_relevance": Q.q_feature_relevance,
-        "ann_ivf": Q.q_ann_ivf,
     }
 
 
@@ -744,6 +746,27 @@ GROUP BY 1, 2, 3
         # asserted in tests/test_mg.py)
         "mg_top_tools_hour": f"""{TURNS_CTE}
 SELECT strftime(date_trunc('hour', ts), '{TS_FMT}') AS bucket_start,
+    CAST(count(DISTINCT tool) AS BIGINT) AS n_tools,
+    CAST(1 AS INTEGER) AS bounds_ok,
+    CAST(1 AS INTEGER) AS cover_ok
+FROM turns WHERE tool IS NOT NULL
+GROUP BY 1
+""",
+        # round 5: DOUBLE-cascade (minute→hour→day) claim oracles — the
+        # depth where compaction/merge error accumulates; same boolean
+        # surface as the hour twins, n restated per day bucket from raw
+        "sketch_kll_day": f"""{LONG_CTE}
+SELECT conv_id, kind,
+    strftime(date_trunc('day', ts), '{TS_FMT}') AS bucket_start,
+    CAST(count(*) AS BIGINT) AS n_raw,
+    CAST(1 AS INTEGER) AS count_ok,
+    CAST(1 AS INTEGER) AS q50_in_bound,
+    CAST(1 AS INTEGER) AS q95_in_bound
+FROM long_panel WHERE kind = 'text_len'
+GROUP BY 1, 2, 3
+""",
+        "mg_top_tools_day": f"""{TURNS_CTE}
+SELECT strftime(date_trunc('day', ts), '{TS_FMT}') AS bucket_start,
     CAST(count(DISTINCT tool) AS BIGINT) AS n_tools,
     CAST(1 AS INTEGER) AS bounds_ok,
     CAST(1 AS INTEGER) AS cover_ok

@@ -17,23 +17,27 @@ WINDOW = 50
 # earlier rounds, OR they are engine-added ops with full value oracles
 # waiting on window space
 ALLOWED_TAIL = {
-    "moving_stats",
-    "sample_turns",
-    "unmask_conv_counts",
-    "rollup_minute_core",
-    "cascade_day_from_minute",
-    "dedup_embedding_cosine",
-    "rollup_day_full",
-    "latency_stats_hour",
-    "turn_count_hour",
-    "gapfill_sentinel_hour",
-    "autocorr_lags",
-    "feature_names_dim",
-    "feature_relevance",
-    "ann_ivf",
-    # demoted in the round-4 rotation: >=2 green driver rows each
-    # (r1/r2 + r3) and an in-window family sibling attesting the
-    # surface (queries() docstring maps each to its sibling)
+    # round-5 demotions: >=2 green driver rows each (r3 + r4) and an
+    # in-window family sibling attesting the surface (queries()
+    # docstring maps each to its sibling)
+    "rollup_hour_full",
+    "conv_features",
+    "asof_join",
+    "stratified_sample",
+    "moving_quantiles",
+    "feature_relevance_fdr",
+    "mask_rollup_hour",
+    "cascade_hour_from_minute",
+    "gapfill_locf_hour",
+    "decontaminate",
+    "chunk_documents",
+    "dedup_minhash_lsh",
+    "ann_signlsh",
+    "tfidf_top_terms",
+    "stream_stateful_counts",
+    "sketch_quantile_hour",
+    # demoted in the round-3/4 rotations: >=2 green driver rows each
+    # and an in-window family sibling attesting the surface
     "long_panel",
     "role_tool_mix_conv",
     "panel_lag1",
@@ -54,32 +58,40 @@ ALLOWED_TAIL = {
     "balanced_panel_check",
     "export_wide_features",
     "session_windows",
-    # swapped out late round 4 for the two new sketches: 3 green
-    # driver rows each, family siblings in-window (dedup_minhash_lsh +
-    # dedup_keep_canonical; late_data_merge_hour)
     "dedup_components",
     "retention_ttl_hour",
 }
 
-# operators that were unattested in round 2 precisely because they sat
-# past the window — they must never fall out again
+# entries that MUST be inside the round-5 window: never-green or stale
+# (last driver row r1/r2) re-attestations, r4-first entries due a second
+# row, queries over code changed this round, and the new day cascades
 MUST_BE_IN_WINDOW = {
-    "kernel_features_cwt",
+    # the only never-driver-green entry before round 5
+    "ann_ivf",
+    # stale: last driver rows r1/r2, shared code changed since
+    "moving_stats",
+    "sample_turns",
+    "unmask_conv_counts",
+    "rollup_minute_core",
+    "rollup_day_full",
+    "cascade_day_from_minute",
+    "dedup_embedding_cosine",
+    "latency_stats_hour",
+    "turn_count_hour",
+    "gapfill_sentinel_hour",
+    "autocorr_lags",
+    "feature_names_dim",
+    "feature_relevance",
+    # round-5 additions: day-grain double cascades
+    "sketch_kll_day",
+    "mg_top_tools_day",
+    # code changed round 5 (4-dp compress contract, kll total_weight
+    # rename, ema routing short-circuit, mg shared merge tail)
     "compress_roundtrip",
-    "time_weighted_avg",
-    "stratified_sample",
-    "moving_quantiles",
-    "feature_relevance_fdr",
-    # round-3 promotions: first driver attestation happens in r3
-    "conv_features_ext",
-    "counter_rate_hour",
-    "state_durations",
-    "heartbeat_uptime",
-    "decontaminate",
-    "chunk_documents",
-    "pack_documents",
-    "curate_corpus",
-    # round-4 promotions: first driver attestation happens in r4
+    "sketch_kll_hour",
+    "mg_top_tools_hour",
+    "ema_turns",
+    # round-4 promotions holding their slot for a second green row
     "dedup_keep_canonical",
     "repetition_stats",
     "duplicate_lines",
@@ -90,7 +102,6 @@ MUST_BE_IN_WINDOW = {
     "new_convs_hour",
     "cohort_retention",
     "ohlc_hour",
-    "ema_turns",
     "lttb_downsample",
     "rollup_5min",
     "top_tools_hour",
@@ -100,8 +111,6 @@ MUST_BE_IN_WINDOW = {
     "stream_sliding_counts",
     "stream_session_windows",
     "anomaly_turns",
-    "sketch_kll_hour",
-    "mg_top_tools_hour",
 }
 
 

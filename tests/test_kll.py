@@ -151,3 +151,71 @@ def test_spark_cascade_matches_local(spark, turns_small):
         assert row["total_weight"] == len(g)
         for q, col in ((0.5, "q50_kll"), (0.95, "q95_kll")):
             assert row[col] == _quantile_from_levels(levels, q), (conv, hour, col)
+
+
+def test_spark_double_cascade_day_matches_local(spark, turns_small):
+    """minute→hour→day DOUBLE cascade == local two-level replay of the
+    same deterministic kernel (per-hour concat+compact of the minute
+    levels, then per-day concat+compact of the hour levels) — the depth
+    where compaction error actually accumulates.  Weight conservation
+    stays exact through both merges; the day estimate sits inside 3×
+    the single-build rank bound (two extra merge compactions)."""
+    from ts_raster_spark.operators.kll import _compact
+
+    k = 16
+    t = turns_small.withColumn("value", F.length("text").cast("double")).withColumn(
+        "kind", F.lit("text_len")
+    )
+    sk_day = kll_merge(kll_merge(kll_sketch(t, "minute", k=k), "hour", k=k), "day", k=k)
+    got = (
+        kll_quantiles(sk_day, qs=(0.5, 0.95))
+        .orderBy("conv_id", "bucket_start")
+        .toPandas()
+    )
+    pdf = t.select("conv_id", "kind", "ts", "value").toPandas()
+    pdf["minute"] = pdf["ts"].dt.floor("min")
+    pdf["hour"] = pdf["ts"].dt.floor("h")
+    pdf["day"] = pdf["ts"].dt.floor("d")
+
+    def _concat_compact(built):
+        n_levels = max(len(b) for b in built)
+        return _compact(
+            [
+                np.concatenate(
+                    [b[l] for b in built if l < len(b)]
+                    or [np.empty(0, dtype=np.float64)]
+                )
+                for l in range(n_levels)
+            ],
+            k,
+        )
+
+    checked = 0
+    for (conv, day), g in pdf.groupby(["conv_id", "day"]):
+        hours = [
+            _concat_compact(
+                [
+                    _build_levels(gm["value"].to_numpy(dtype=np.float64), k)
+                    for _, gm in gh.groupby("minute")
+                ]
+            )
+            for _, gh in g.groupby("hour")
+        ]
+        day_levels = _concat_compact(hours)
+        row = got[(got.conv_id == conv) & (got.bucket_start == day)]
+        assert len(row) == 1, (conv, day)
+        row = row.iloc[0]
+        assert row["total_weight"] == len(g)
+        xs = np.sort(g["value"].to_numpy(dtype=np.float64))
+        for q, col in ((0.5, "q50_kll"), (0.95, "q95_kll")):
+            est = _quantile_from_levels(day_levels, q)
+            assert row[col] == est, (conv, day, col)
+            # accumulated-error contract: double cascade stays inside
+            # 3x the single-build closed bound
+            lo = np.searchsorted(xs, est, side="left")
+            hi = np.searchsorted(xs, est, side="right")
+            target = q * len(g)
+            b = 3 * _rank_bound(len(g), k)
+            assert lo <= target + b and hi >= target - b, (conv, day, col)
+        checked += 1
+    assert checked >= 10, "fixture spans too few (conv, day) groups"

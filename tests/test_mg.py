@@ -205,3 +205,61 @@ def test_mg_partials_rows_capped(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" in plan, plan
+
+
+def test_spark_double_cascade_day_matches_local(spark, turns_small):
+    """minute→hour→day DOUBLE MG cascade == local two-level replay of
+    the closed-form reduction (sum minute summaries per hour + reduce,
+    sum hour summaries per day + reduce), with err accumulating per
+    Agarwal-et-al merge at BOTH levels — and the classic guarantees
+    (retention above err, undercount ≤ err) still holding at day grain
+    vs exact day counts."""
+    t = turns_small.where(F.col("tool").isNotNull())
+    k = 2
+    sk = mg_merge(
+        mg_merge(mg_sketch(t, "tool", "minute", k=k), "hour", k=k), "day", k=k
+    ).toPandas()
+    pdf = t.select("tool", "ts").toPandas()
+    pdf["minute"] = pdf["ts"].dt.floor("min")
+    pdf["hour"] = pdf["ts"].dt.floor("h")
+    pdf["day"] = pdf["ts"].dt.floor("d")
+    assert len(sk), "empty sketch"
+
+    def _reduce(counter, err_in):
+        items = np.asarray(sorted(counter), dtype=object)
+        w = np.asarray([counter[i] for i in items], dtype=np.int64)
+        it2, w2, err_red = _mg_from_counts(items, w, k)
+        return dict(zip(it2, w2)), err_in + err_red
+
+    checked = 0
+    for day, g in pdf.groupby("day"):
+        hour_summaries = []
+        for _, gh in g.groupby("hour"):
+            summed: collections.Counter = collections.Counter()
+            err_in = 0
+            for _, gm in gh.groupby("minute"):
+                s, e, _ = _summary(gm["tool"].to_numpy(dtype=object), k)
+                summed.update(s)
+                err_in += e
+            hour_summaries.append(_reduce(summed, err_in))
+        day_counter: collections.Counter = collections.Counter()
+        day_err_in = 0
+        for s, e in hour_summaries:
+            day_counter.update(s)
+            day_err_in += e
+        want, want_err = _reduce(day_counter, day_err_in)
+        rows = sk[sk.bucket_start == day]
+        got = {
+            r["item"]: r["weight"] for _, r in rows.iterrows() if r["item"] is not None
+        }
+        assert got == want, day
+        assert rows["err"].max() == want_err, day
+        # classic guarantees vs EXACT day counts, with the accumulated err
+        vc = collections.Counter(g["tool"])
+        for item, cnt in vc.items():
+            if cnt > want_err:
+                assert item in got, (day, item)
+            if item in got:
+                assert cnt - want_err <= got[item] <= cnt, (day, item)
+        checked += 1
+    assert checked >= 2, "fixture spans too few days"

@@ -773,6 +773,81 @@ def q_mg_top_tools_hour(spark, sf_dir):
     return finalize(out)
 
 
+def q_sketch_kll_day(spark, sf_dir):
+    """Round 5: the DOUBLE cascade minute→hour→day of the deterministic
+    KLL rank sketch — the depth where compaction error actually
+    accumulates (each tier merge re-compacts over-capacity levels).
+    Same claim-style surface as sketch_kll_hour: the day-grain estimate
+    must sit inside the closed-form worst-case rank bound H·n/(2k) of
+    the target rank (computed from raw in-query) and the cascaded
+    sketch's conserved weight must equal the exact day count.  The
+    oracle recomputes n per day bucket and states the booleans."""
+    from ts_raster_spark.operators.kll import kll_merge, kll_quantiles, kll_sketch
+
+    k = 64
+    long_df = load_long(spark, sf_dir).where(F.col("kind") == "text_len")
+    sk = kll_merge(kll_merge(kll_sketch(long_df, "minute", k=k), "hour", k=k), "day", k=k)
+    est = kll_quantiles(sk, qs=(0.5, 0.95))
+    raw = long_df.withColumn("bucket_start", F.date_trunc("day", F.col("ts")))
+    joined = raw.join(est, ["conv_id", "kind", "bucket_start"])
+    n = F.count("*")
+    h = F.greatest(F.lit(1.0), F.log2(F.greatest(n.cast("double") / k, F.lit(2.0))) + 1.0)
+    bound = h * n.cast("double") / (2.0 * k)
+
+    def _in_bound(est_col, q):
+        lo = F.sum((F.col("value") < F.col(est_col)).cast("long")).cast("double")
+        hi = F.sum((F.col("value") <= F.col(est_col)).cast("long")).cast("double")
+        target = F.lit(q) * n.cast("double")
+        return ((hi >= target - bound) & (lo <= target + bound)).cast("int")
+
+    out = joined.groupBy("conv_id", "kind", "bucket_start").agg(
+        n.cast("long").alias("n_raw"),
+        (F.max("total_weight") == n).cast("int").alias("count_ok"),
+        _in_bound("q50_kll", 0.5).alias("q50_in_bound"),
+        _in_bound("q95_kll", 0.95).alias("q95_in_bound"),
+    )
+    return finalize(out)
+
+
+def q_mg_top_tools_day(spark, sf_dir):
+    """Round 5: the DOUBLE Misra-Gries cascade minute→hour→day (k=2) —
+    two Agarwal-et-al merges, each adding tracked subtraction error, so
+    the day-grain err column carries the accumulated bound.  Claim
+    surface as in mg_top_tools_hour: every retained counter satisfies
+    true−err ≤ weight ≤ true and every tool whose exact day count
+    exceeds err is retained; the oracle restates the per-day
+    distinct-tool count and the booleans."""
+    from ts_raster_spark.operators.mg import mg_merge, mg_sketch
+
+    k = 2
+    t = load_turns(spark, sf_dir)
+    sk = mg_merge(mg_merge(mg_sketch(t, "tool", "minute", k=k), "hour", k=k), "day", k=k)
+    errs = sk.groupBy("bucket_start").agg(F.max("err").alias("_err"))
+    real = sk.where(F.col("item").isNotNull()).select(
+        "bucket_start", F.col("item").alias("tool"), "weight"
+    )
+    exact = (
+        t.where(F.col("tool").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("bucket_start"), "tool")
+        .agg(F.count("*").cast("long").alias("_cnt"))
+    )
+    j = exact.join(real, ["bucket_start", "tool"], "left").join(errs, "bucket_start")
+    in_bounds = F.when(
+        F.col("weight").isNotNull(),
+        (F.col("weight") <= F.col("_cnt"))
+        & (F.col("weight") >= F.col("_cnt") - F.col("_err")),
+    ).otherwise(F.lit(True))
+    covered = F.when(
+        F.col("_cnt") > F.col("_err"), F.col("weight").isNotNull()
+    ).otherwise(F.lit(True))
+    out = j.groupBy("bucket_start").agg(
+        F.count("*").cast("long").alias("n_tools"),
+        F.min(in_bounds.cast("int")).alias("bounds_ok"),
+        F.min(covered.cast("int")).alias("cover_ok"),
+    )
+    return finalize(out)
+
+
 def q_sketch_quantile_hour(spark, sf_dir):
     """Mergeable-sketch quantile cascade: minute-tier histogram sketches
     merged (bin-count sums) up to hour, quantiles read off the merged
