@@ -156,7 +156,7 @@ def run(cpus: int, sf_dir: str, n_synth: int, skip_synth: bool = False, reps: in
     timed("conv_features_ext_sf", _ext)
 
     def _gap():
-        long_tl = to_long_panel(turns_sf).where(F.col("kind") == "text_len")
+        long_tl = to_long_panel(turns_sf, channels=("text_len",))
         pts = rollup_simple(long_tl, "hour", aggs={"value": F.avg("value")})
         _force(gapfill(pts, "hour", "locf"))
 
@@ -201,7 +201,7 @@ def run(cpus: int, sf_dir: str, n_synth: int, skip_synth: bool = False, reps: in
         def _kll():
             from ts_raster_spark.operators.kll import kll_merge, kll_quantiles, kll_sketch
 
-            long_tl = to_long_panel(turns_sf).where(F.col("kind") == "text_len")
+            long_tl = to_long_panel(turns_sf, channels=("text_len",))
             _force(kll_quantiles(kll_merge(kll_sketch(long_tl, "minute", k=64), "hour", k=64)))
 
         timed("sketch_kll_hour_sf", _kll)

@@ -96,135 +96,106 @@ def _levels_frame(levels: list[np.ndarray]) -> pd.DataFrame:
 def kll_sketch(long_df: DataFrame, tier: str | None, k: int = 64) -> DataFrame:
     """Build the sketch per (conv_id, kind[, bucket_start]): one output
     row per retained (level, value) item — ≤ k·log₂(n/k)+k rows per
-    group.  Kernel granularity is one (conv_id, kind) SERIES, looping
-    time buckets inside pandas — per-bucket grouping would pay the
-    Arrow per-group overhead (~ms) for every tiny bucket; per-series
-    grouping amortizes it ~30-60× (same discipline as
-    compress._encode_series)."""
+    group.
+
+    SINGLE-PASS shape (round 5): one hash aggregate gathers each
+    group's values (map-side combined like any agg), a vectorized
+    Arrow batch kernel compacts per group (a bucket with ≤ k values IS
+    its own level-0 sketch — no compaction, just a relabel), and an
+    explode re-emits the narrow (keys, level, value) rows.  The
+    round-4 design instead ROUTED via a heavy-key probe + broadcast
+    anti/semi joins so light series could pass through as a pure
+    identity projection — zero shuffle, but the probe and each join
+    branch re-embedded (re-planned, re-scanned) the upstream
+    derivation, which dominates end-to-end when the input is a derived
+    long panel rather than a bare scan, and multiplicatively so under
+    a two-level cascade.  The single aggregate shuffles bytes the
+    downstream quantile/merge window would shuffle anyway (at fine
+    grains the sketch IS the data), so the trade is one derivation
+    scan for the whole pipeline."""
+    from pyspark.sql.functions import pandas_udf
+
     df, out_keys = bucketize(long_df, tier)
-    series_keys = [c for c in out_keys if c != "bucket_start"]
-    key_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in out_keys
+    g = df.groupBy(*out_keys).agg(
+        F.collect_list(F.col("value").cast("double")).alias("_vals")
     )
-    schema = f"{key_fields}, {SKETCH_FIELDS}"
-    bucketed = "bucket_start" in out_keys
 
-    def _series(pdf: pd.DataFrame) -> pd.DataFrame:
-        if not bucketed:
-            res = _levels_frame(_build_levels(pdf["value"].to_numpy(dtype=np.float64), k))
-        else:
-            # vectorized fast path: a bucket with <= k values IS its own
-            # level-0 sketch (no compaction) — emit those rows in bulk;
-            # only over-capacity buckets run the compaction loop.  At
-            # minute grain virtually every bucket takes the fast path,
-            # so the kernel is one pandas groupby + array concat.
-            sizes = pdf.groupby("bucket_start")["value"].transform("size")
-            small = pdf[sizes <= k]
-            frames = [
-                pd.DataFrame(
-                    {
-                        "bucket_start": small["bucket_start"].to_numpy(),
-                        "level": np.zeros(len(small), dtype=np.int32),
-                        "value": small["value"].to_numpy(dtype=np.float64),
-                    }
+    @pandas_udf("array<struct<level:int,value:double>>")
+    def _build(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            arr = np.asarray(v, dtype=np.float64)
+            if len(arr) <= k:
+                out.append([{"level": 0, "value": float(x)} for x in arr])
+            else:
+                levels = _build_levels(arr, k)
+                out.append(
+                    [
+                        {"level": l, "value": float(x)}
+                        for l, a in enumerate(levels)
+                        for x in a
+                    ]
                 )
-            ]
-            for b, sub in pdf[sizes > k].groupby("bucket_start", sort=True):
-                fr = _levels_frame(_build_levels(sub["value"].to_numpy(dtype=np.float64), k))
-                fr["bucket_start"] = b
-                frames.append(fr)
-            res = pd.concat(frames, ignore_index=True)
-        for c in series_keys:
-            res[c] = pdf[c].iloc[0]
-        return res[out_keys + ["level", "value"]]
+        return pd.Series(out)
 
-    if not bucketed:
-        return df.groupBy(*series_keys).applyInPandas(_series, schema=schema)
-    # SQL routing (round 4): a bucket with <= k values IS its own
-    # level-0 sketch, and at fine grains that is virtually every
-    # bucket — so series whose every bucket fits capacity take a pure
-    # Catalyst identity projection (zero Python, zero Arrow transfer);
-    # only series with an over-capacity bucket go through the kernel.
-    # Routing is a broadcast anti/semi join on the (rare) heavy-series
-    # key set from a map-side-combined count aggregate, exactly like
-    # timeseries.ema.
-    heavy_keys = (
-        df.groupBy(*out_keys).agg(F.count("*").alias("_n"))
-        .where(F.col("_n") > k)
-        .select(*series_keys).distinct()
-    )
-    light_out = df.join(F.broadcast(heavy_keys), series_keys, "left_anti").select(
+    return g.select(*out_keys, F.explode(_build("_vals")).alias("_it")).select(
         *out_keys,
-        F.lit(0).cast("int").alias("level"),
-        F.col("value").cast("double").alias("value"),
+        F.col("_it.level").cast("int").alias("level"),
+        F.col("_it.value").cast("double").alias("value"),
     )
-    heavy = df.join(F.broadcast(heavy_keys), series_keys, "left_semi")
-    heavy_out = heavy.groupBy(*series_keys).applyInPandas(_series, schema=schema)
-    return light_out.unionByName(heavy_out)
 
 
 def kll_merge(sketch: DataFrame, coarser_tier: str, k: int = 64) -> DataFrame:
     """Tier cascade: re-bucket ``bucket_start`` and re-compact the
-    concatenated items per coarser group — reads ≤ k·log₂(n/k) rows per
-    finer bucket instead of the raw data.  One kernel call per series,
-    looping coarse buckets inside (see kll_sketch)."""
+    concatenated items per coarser group — reads ≤ k·log₂(n/k) rows
+    per finer bucket instead of the raw data.  Same single-pass
+    aggregate + Arrow batch kernel + explode shape as ``kll_sketch``
+    (see there for why this replaced probe-and-join routing); the
+    kernel passes a coarse bucket through UNCHANGED when every level
+    is already within capacity (the common case), so merging is one
+    sketch-row shuffle and a relabel for all but busy/mega series."""
+    from pyspark.sql.functions import pandas_udf
+
     keys = [c for c in sketch.columns if c not in ("level", "value")]
-    series_keys = [c for c in keys if c != "bucket_start"]
-    d = sketch.withColumn("bucket_start", F.date_trunc(coarser_tier, F.col("bucket_start")))
-    key_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in d.schema.fields if f.name in keys
+    d = sketch.withColumn(
+        "bucket_start", F.date_trunc(coarser_tier, F.col("bucket_start"))
     )
-    schema = f"{key_fields}, {SKETCH_FIELDS}"
-
-    def _series(pdf: pd.DataFrame) -> pd.DataFrame:
-        # vectorized fast path: a coarse bucket where every level is
-        # already within capacity needs NO compaction — emit its rows
-        # unchanged in bulk; loop only over-capacity buckets (rare:
-        # they need > k items in some level, i.e. busy/mega series)
-        lvl_n = pdf.groupby(["bucket_start", "level"])["value"].transform("size")
-        worst = pdf.assign(_c=lvl_n).groupby("bucket_start")["_c"].transform("max")
-        ok = pdf[worst <= k]
-        frames = [
-            pd.DataFrame(
-                {
-                    "bucket_start": ok["bucket_start"].to_numpy(),
-                    "level": ok["level"].to_numpy().astype(np.int32),
-                    "value": ok["value"].to_numpy(dtype=np.float64),
-                }
+    g = d.groupBy(*keys).agg(
+        F.collect_list(
+            F.struct(
+                F.col("level").cast("int").alias("level"),
+                F.col("value").cast("double").alias("value"),
             )
-        ]
-        for b, sub in pdf[worst > k].groupby("bucket_start", sort=True):
-            n_levels = int(sub["level"].max()) + 1
+        ).alias("_its")
+    )
+
+    @pandas_udf("array<struct<level:int,value:double>>")
+    def _merge(its: pd.Series) -> pd.Series:
+        out = []
+        for items in its:
+            n = len(items)
+            lv = np.fromiter((it["level"] for it in items), dtype=np.int64, count=n)
+            if n == 0 or np.bincount(lv).max() <= k:
+                out.append(list(items))
+                continue
+            vals = np.fromiter((it["value"] for it in items), dtype=np.float64, count=n)
             levels = _compact(
-                [
-                    sub.loc[sub["level"] == l, "value"].to_numpy(dtype=np.float64)
-                    for l in range(n_levels)
-                ],
-                k,
+                [vals[lv == l] for l in range(int(lv.max()) + 1)], k
             )
-            fr = _levels_frame(levels)
-            fr["bucket_start"] = b
-            frames.append(fr)
-        res = pd.concat(frames, ignore_index=True)
-        for c in series_keys:
-            res[c] = pdf[c].iloc[0]
-        return res[keys + ["level", "value"]]
+            out.append(
+                [
+                    {"level": l, "value": float(x)}
+                    for l, a in enumerate(levels)
+                    for x in a
+                ]
+            )
+        return pd.Series(out)
 
-    # SQL routing (round 4), same shape as kll_sketch: a coarse bucket
-    # whose every level is within capacity merges by IDENTITY (its rows
-    # pass through unchanged) — only series containing an over-capacity
-    # (bucket, level) run the compaction kernel.
-    heavy_keys = (
-        d.groupBy(*keys, "level").agg(F.count("*").alias("_n"))
-        .where(F.col("_n") > k)
-        .select(*series_keys).distinct()
+    return g.select(*keys, F.explode(_merge("_its")).alias("_it")).select(
+        *keys,
+        F.col("_it.level").cast("int").alias("level"),
+        F.col("_it.value").cast("double").alias("value"),
     )
-    light_out = d.join(F.broadcast(heavy_keys), series_keys, "left_anti").select(
-        *keys, F.col("level").cast("int").alias("level"), F.col("value").cast("double").alias("value")
-    )
-    heavy = d.join(F.broadcast(heavy_keys), series_keys, "left_semi")
-    heavy_out = heavy.groupBy(*series_keys).applyInPandas(_series, schema=schema)
-    return light_out.unionByName(heavy_out)
 
 
 def kll_quantiles(

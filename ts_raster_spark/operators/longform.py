@@ -37,11 +37,23 @@ def epoch_seconds(col) -> F.Column:
     return col.cast("timestamp_ltz").cast("double")
 
 
-def with_channels(turns: DataFrame, dense_turn_idx: bool = True) -> DataFrame:
+def with_channels(
+    turns: DataFrame,
+    dense_turn_idx: bool = True,
+    channels: tuple[str, ...] = CHANNELS,
+) -> DataFrame:
     """Add the derived numeric channel columns to a turns DataFrame.
 
     ``latency_s`` is µs-exact: timestamps cast to double epoch seconds
     (microseconds are exactly representable in double for modern epochs).
+
+    ``channels`` prunes the derivation: only the requested channel
+    expressions are computed, and — the part Catalyst cannot do itself,
+    because a filter on ``stack``'s generated ``kind`` column does not
+    push through the generator — the latency self-join is SKIPPED
+    entirely when ``latency_s`` is not requested.  Callers that filter
+    the long panel to specific kinds should pass them here so the scan
+    and join shrink to match.
 
     Skew note (SURVEY.md §4): a per-conversation window puts a
     mega-conversation into ONE task — the lone straggler that caps
@@ -53,22 +65,29 @@ def with_channels(turns: DataFrame, dense_turn_idx: bool = True) -> DataFrame:
     for inputs without the density guarantee.
     """
     df = turns
-    if "value" not in df.columns:
+    want = set(channels)
+    if "value" in want and "value" not in df.columns:
         df = df.withColumn("value", F.lit(None).cast("double"))
+    need_latency = "latency_s" in want
     # Project to the narrow channel frame FIRST: downstream exchanges
     # ship ~40 bytes/row instead of the text payload (at 100 TB the text
     # column dominates raw bytes; only its length leaves the scan).
+    chan_exprs = {
+        "value": F.col("value"),
+        "text_len": F.length("text").cast("double").alias("text_len"),
+        "is_tool": F.col("tool").isNotNull().cast("double").alias("is_tool"),
+        "role_user": (F.col("role") == "user").cast("double").alias("role_user"),
+        "role_assistant": (F.col("role") == "assistant").cast("double").alias("role_assistant"),
+    }
     narrow = df.select(
         "conv_id",
         "turn_idx",
         "ts",
-        "value",
-        F.length("text").cast("double").alias("text_len"),
-        F.col("tool").isNotNull().cast("double").alias("is_tool"),
-        (F.col("role") == "user").cast("double").alias("role_user"),
-        (F.col("role") == "assistant").cast("double").alias("role_assistant"),
-        epoch_seconds(F.col("ts")).alias("_epoch"),
+        *[chan_exprs[c] for c in chan_exprs if c in want],
+        *([epoch_seconds(F.col("ts")).alias("_epoch")] if need_latency else []),
     )
+    if not need_latency:
+        return narrow
     if dense_turn_idx:
         prev = narrow.select(
             "conv_id",
@@ -96,7 +115,7 @@ def to_long_panel(
     are real nulls, not ``-9999``. ``dense_turn_idx`` selects the latency
     implementation (see :func:`with_channels`).
     """
-    wide = with_channels(turns, dense_turn_idx=dense_turn_idx)
+    wide = with_channels(turns, dense_turn_idx=dense_turn_idx, channels=channels)
     chan_cols = [c for c in channels if c != "value"] + (["value"] if "value" in channels else [])
     pairs = ", ".join(f"'{c}', {'value' if c == 'value' else c}" for c in chan_cols)
     stacked = wide.selectExpr(

@@ -32,8 +32,13 @@ def load_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive_turns_from_events(events)
 
 
-def load_long(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return to_long_panel(load_turns(spark, sf_dir))
+def load_long(spark: SparkSession, sf_dir: str, channels=None) -> DataFrame:
+    """``channels`` prunes the panel derivation (skips the latency
+    self-join when latency_s is unused — see longform.with_channels);
+    None keeps the full default channel set."""
+    if channels is None:
+        return to_long_panel(load_turns(spark, sf_dir))
+    return to_long_panel(load_turns(spark, sf_dir), channels=channels)
 
 
 def finalize(df: DataFrame, ts_fmt: str = "yyyy-MM-dd HH:mm:ss") -> DataFrame:
@@ -703,7 +708,9 @@ def q_sketch_kll_hour(spark, sf_dir):
     from ts_raster_spark.operators.kll import kll_merge, kll_quantiles, kll_sketch
 
     k = 64
-    long_df = load_long(spark, sf_dir).where(F.col("kind") == "text_len")
+    long_df = load_long(spark, sf_dir, channels=("text_len",)).where(
+        F.col("kind") == "text_len"
+    )
     sk = kll_merge(kll_sketch(long_df, "minute", k=k), "hour", k=k)
     est = kll_quantiles(sk, qs=(0.5, 0.95))
     raw = long_df.withColumn("bucket_start", F.date_trunc("hour", F.col("ts")))
@@ -785,7 +792,9 @@ def q_sketch_kll_day(spark, sf_dir):
     from ts_raster_spark.operators.kll import kll_merge, kll_quantiles, kll_sketch
 
     k = 64
-    long_df = load_long(spark, sf_dir).where(F.col("kind") == "text_len")
+    long_df = load_long(spark, sf_dir, channels=("text_len",)).where(
+        F.col("kind") == "text_len"
+    )
     sk = kll_merge(kll_merge(kll_sketch(long_df, "minute", k=k), "hour", k=k), "day", k=k)
     est = kll_quantiles(sk, qs=(0.5, 0.95))
     raw = long_df.withColumn("bucket_start", F.date_trunc("day", F.col("ts")))
