@@ -88,8 +88,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heartbeat_uptime": Q.q_heartbeat_uptime,
         "pack_documents": Q.q_pack_documents,
         "curate_corpus": Q.q_curate_corpus,
-        "stream_rollup_minute": Q.q_stream_rollup_minute,
         "late_data_merge_hour": Q.q_late_data_merge_hour,
+        # round-5 addition: sketch tier x late-MERGE x retention TTL
+        # composition (verdict item 8) — slot freed by demoting
+        # stream_rollup_minute (multi-green; three stream siblings stay
+        # in-window: stream_dedup_exact, stream_sliding_counts,
+        # stream_session_windows)
+        "sketch_merge_retention": Q.q_sketch_merge_retention,
         # -- round-4 first attestations: second green row --
         "sketch_kll_hour": Q.q_sketch_kll_hour,
         "mg_top_tools_hour": Q.q_mg_top_tools_hour,
@@ -187,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_panel_check": Q.q_balanced_panel_check,
         "export_wide_features": Q.q_export_wide_features,
         "session_windows": Q.q_session_windows,
+        "stream_rollup_minute": Q.q_stream_rollup_minute,
     }
 
 
@@ -771,6 +777,21 @@ SELECT strftime(date_trunc('day', ts), '{TS_FMT}') AS bucket_start,
     CAST(1 AS INTEGER) AS bounds_ok,
     CAST(1 AS INTEGER) AS cover_ok
 FROM turns WHERE tool IS NOT NULL
+GROUP BY 1
+""",
+        # round 5: sketch tier composed with late-MERGE + retention TTL —
+        # determinism makes the merged tier equal a fresh full build, so
+        # the oracle restates the exact in-window count per hour and the
+        # in-query multiset-compare boolean
+        "sketch_merge_retention": f"""{LONG_CTE},
+pts AS (
+    SELECT date_trunc('minute', ts) AS mb FROM long_panel WHERE kind = 'text_len'
+),
+h AS (SELECT max(mb) AS horizon FROM pts)
+SELECT strftime(date_trunc('hour', mb), '{TS_FMT}') AS bucket_start,
+    CAST(1 AS INTEGER) AS merge_exact,
+    CAST(count(*) AS BIGINT) AS total_weight
+FROM pts, h WHERE mb >= horizon - INTERVAL 7 DAY
 GROUP BY 1
 """,
         "sketch_quantile_hour": f"""{LONG_CTE},

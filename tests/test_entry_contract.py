@@ -60,6 +60,9 @@ ALLOWED_TAIL = {
     "session_windows",
     "dedup_components",
     "retention_ttl_hour",
+    # demoted round 5 for the sketch_merge_retention slot: multi-green,
+    # three stream siblings remain in-window
+    "stream_rollup_minute",
 }
 
 # entries that MUST be inside the round-5 window: never-green or stale
@@ -82,9 +85,11 @@ MUST_BE_IN_WINDOW = {
     "autocorr_lags",
     "feature_names_dim",
     "feature_relevance",
-    # round-5 additions: day-grain double cascades
+    # round-5 additions: day-grain double cascades + the sketch-tier
+    # MERGE/retention composition
     "sketch_kll_day",
     "mg_top_tools_day",
+    "sketch_merge_retention",
     # code changed round 5 (4-dp compress contract, kll total_weight
     # rename, ema routing short-circuit, mg shared merge tail)
     "compress_roundtrip",

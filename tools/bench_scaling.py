@@ -1,13 +1,16 @@
 """Scaling-efficiency evidence for the north rule (target ≥0.8 from N to 4N).
 
-Runs three job shapes at local[8] vs local[32], each in a fresh JVM
+Runs four job shapes at local[8] vs local[32], each in a fresh JVM
 pinned (taskset) to exactly that many cores — the sandbox stand-in for
 an 8-core vs 32-core cluster:
 
-- ``e2e_tiers``        raw→minute→hour→day with parquet tier writes
-- ``rollup_hour_full`` the 29-aggregate feature rollup (compute-heavy)
-- ``agg_minute``       the aggregation stage alone from a materialized
-                       long panel (the shape that dominates at 100 TB)
+- ``e2e_tiers``          raw→minute→hour→day with parquet tier writes
+- ``e2e_tiers_compute``  the same tier algebra write-free (noop sink) —
+                         splits engine scaling from this box's shared
+                         single-disk write contention (round-5 contract)
+- ``rollup_hour_full``   the 29-aggregate feature rollup (compute-heavy)
+- ``agg_minute``         the aggregation stage alone from a materialized
+                         long panel (the shape that dominates at 100 TB)
 
 Plus a **platform calibration**: a pure-Python multiprocessing integer
 burn and a pure Spark codegen sum, which bound what ANY job can achieve
@@ -92,11 +95,21 @@ def e2e():
     h.write.mode("overwrite").parquet({repo!r} + f"/.bench_tmp/sc_hr_{{cpus}}")
     cascade_up(spark.read.parquet({repo!r} + f"/.bench_tmp/sc_hr_{{cpus}}"), "day").count()
 
+def e2e_compute():
+    # write-free twin of e2e: same minute→hour→day algebra kept
+    # in-plan (no parquet tier round-trips), noop sink — separates
+    # ENGINE scaling from this box's single-disk write contention
+    # (round-4 verdict: rollup sat at the 0.8 boundary only under
+    # write-path contention; the disk is shared and degrades in
+    # hour-scale windows, see BENCH/BASELINE.md)
+    m = rollup_simple_wide(turns, "minute")
+    cascade_up(cascade_up(m, "hour"), "day").write.format("noop").mode("overwrite").save()
+
 timed("e2e_tiers", e2e)
+timed("e2e_tiers_compute", e2e_compute)
 timed("agg_minute", lambda: rollup_simple(long_pq, "minute").write.format("noop").mode("overwrite").save())
 timed("rollup_hour_full",
-      lambda: rollup_features(LF.to_long_panel(turns), tier="hour").write.format("noop").mode("overwrite").save(),
-      reps=1)
+      lambda: rollup_features(LF.to_long_panel(turns), tier="hour").write.format("noop").mode("overwrite").save())
 
 # pure Spark codegen compute (JVM platform ceiling probe)
 rng = spark.range(0, 16_000_000_000, 1, cpus * 4)
@@ -155,7 +168,7 @@ def main():
 
     ratio = N_HIGH / N_LOW
     rows = []
-    for q in ("e2e_tiers", "agg_minute", "rollup_hour_full"):
+    for q in ("e2e_tiers", "e2e_tiers_compute", "agg_minute", "rollup_hour_full"):
         sp = lo[q] / hi[q]
         rows.append((q, lo[q], hi[q], sp, sp / ratio, (sp / ratio) / ceiling))
 
@@ -236,8 +249,8 @@ def main():
         # is identifiable instead of reading as current
         "generated_at_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "commit": commit or None,
-        "seconds_low": {q: lo[q] for q in ("e2e_tiers", "agg_minute", "rollup_hour_full")},
-        "seconds_high": {q: hi[q] for q in ("e2e_tiers", "agg_minute", "rollup_hour_full")},
+        "seconds_low": {q: lo[q] for q in ("e2e_tiers", "e2e_tiers_compute", "agg_minute", "rollup_hour_full")},
+        "seconds_high": {q: hi[q] for q in ("e2e_tiers", "e2e_tiers_compute", "agg_minute", "rollup_hour_full")},
         "python_ceiling_eff": round(py_ceiling, 3),
         "jvm_ceiling_eff": round(jvm_ceiling, 3),
         "efficiency": summary,

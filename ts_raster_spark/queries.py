@@ -857,6 +857,84 @@ def q_mg_top_tools_day(spark, sf_dir):
     return finalize(out)
 
 
+def q_sketch_merge_retention(spark, sf_dir):
+    """Round 5 (verdict item 8): the KLL sketch TIER composed with the
+    late-data idempotent MERGE and the retention TTL — proof that
+    sketch columns survive both tier-maintenance paths.
+
+    A deterministic late subset of turns is withheld (same hash rule as
+    q_late_data_merge_hour); the minute-grain sketch tier is built from
+    the on-time rows, the late rows are merged by recomputing exactly
+    the affected conversations' sketches from raw+late and upserting
+    (anti-join + union — the Iceberg MERGE INTO stand-in,
+    operators/retention.merge_late_turns semantics), then retention
+    drops buckets older than 7 days before the tier's own horizon
+    (operators/retention.apply_retention contract: cutoff is a function
+    of the data, never wall clock).
+
+    The sketch build is DETERMINISTIC (operators/kll.py), so the merged
+    tier must equal a fresh build from ALL turns over the same window —
+    asserted in-query by a full-outer multiset compare, emitted as a
+    per-hour ``merge_exact`` flag; conservation gives
+    ``total_weight`` = the exact in-window raw count per hour, which
+    the DuckDB oracle restates from raw."""
+    from ts_raster_spark.operators.kll import kll_sketch
+
+    k = 64
+    turns = load_turns(spark, sf_dir)
+    is_late = (F.pmod(F.xxhash64("conv_id"), F.lit(7)) == 3) & (F.col("turn_idx") >= 4)
+    ontime = turns.where(~is_late)
+
+    sk_ontime = kll_sketch(
+        to_long_panel(ontime, channels=("text_len",)), "minute", k=k
+    )
+    affected = turns.where(is_late).select("conv_id").distinct()
+    recomputed = kll_sketch(
+        to_long_panel(
+            turns.join(F.broadcast(affected), "conv_id", "left_semi"),
+            channels=("text_len",),
+        ),
+        "minute",
+        k=k,
+    )
+    merged = sk_ontime.join(F.broadcast(affected), "conv_id", "left_anti").unionByName(
+        recomputed
+    )
+
+    horizon = merged.agg(F.max("bucket_start").alias("_horizon"))
+    cutoff = (F.col("_horizon") - F.expr("INTERVAL 7 DAYS")).alias("_cutoff")
+    retained = (
+        merged.crossJoin(F.broadcast(horizon.select(cutoff)))
+        .where(F.col("bucket_start") >= F.col("_cutoff"))
+        .drop("_cutoff")
+    )
+
+    fresh = kll_sketch(to_long_panel(turns, channels=("text_len",)), "minute", k=k)
+    fresh_ret = (
+        fresh.crossJoin(F.broadcast(horizon.select(cutoff)))
+        .where(F.col("bucket_start") >= F.col("_cutoff"))
+        .drop("_cutoff")
+    )
+
+    cols = ["conv_id", "kind", "bucket_start", "level", "value"]
+    a = retained.groupBy(*cols).agg(F.count("*").alias("_ca"))
+    b = fresh_ret.groupBy(*cols).agg(F.count("*").alias("_cb"))
+    j = a.join(b, cols, "full_outer")
+    out = (
+        j.withColumn("_hour", F.date_trunc("hour", F.col("bucket_start")))
+        .groupBy(F.col("_hour").alias("bucket_start"))
+        .agg(
+            F.min(
+                (F.col("_ca").isNotNull() & (F.col("_ca") == F.col("_cb"))).cast("int")
+            ).alias("merge_exact"),
+            F.sum(F.coalesce(F.col("_ca"), F.lit(0)) * F.pow(F.lit(2.0), F.col("level")))
+            .cast("long")
+            .alias("total_weight"),
+        )
+    )
+    return finalize(out)
+
+
 def q_sketch_quantile_hour(spark, sf_dir):
     """Mergeable-sketch quantile cascade: minute-tier histogram sketches
     merged (bin-count sums) up to hour, quantiles read off the merged
