@@ -193,6 +193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_wide_features": Q.q_export_wide_features,
         "session_windows": Q.q_session_windows,
         "stream_rollup_minute": Q.q_stream_rollup_minute,
+        # round-5 tail addition: capped-partials MG on high-cardinality
+        # bigrams — local-gate attested (claim oracle), awaiting window
+        # space; family sibling mg_top_tools_hour/day in-window
+        "mg_ngrams_hour": Q.q_mg_ngrams_hour,
     }
 
 
@@ -793,6 +797,25 @@ SELECT strftime(date_trunc('hour', mb), '{TS_FMT}') AS bucket_start,
     CAST(count(*) AS BIGINT) AS total_weight
 FROM pts, h WHERE mb >= horizon - INTERVAL 7 DAY
 GROUP BY 1
+""",
+        # round 5: capped-partials MG on word-bigrams — claim oracle
+        # (exact distinct restated; bound booleans verified in-query)
+        "mg_ngrams_hour": f"""{TURNS_CTE},
+toks AS (
+    SELECT ts,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+    FROM turns
+),
+ng AS (
+    SELECT ts,
+        unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS ngram
+    FROM toks WHERE len(tk) >= 2
+)
+SELECT strftime(date_trunc('hour', ts), '{TS_FMT}') AS bucket_start,
+    CAST(count(DISTINCT ngram) AS BIGINT) AS n_ngrams,
+    CAST(1 AS INTEGER) AS bounds_ok,
+    CAST(1 AS INTEGER) AS cover_ok
+FROM ng GROUP BY 1
 """,
         "sketch_quantile_hour": f"""{LONG_CTE},
 base AS (

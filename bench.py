@@ -206,6 +206,29 @@ def run(cpus: int, sf_dir: str, n_synth: int, skip_synth: bool = False, reps: in
 
         timed("sketch_kll_hour_sf", _kll)
 
+        def _kll_day():
+            # round 5: the DOUBLE cascade (minute->hour->day) — tracks
+            # the production cost of the depth where compaction error
+            # accumulates, separately from the hour path above
+            from ts_raster_spark.operators.kll import kll_merge, kll_quantiles, kll_sketch
+
+            long_tl = to_long_panel(turns_sf, channels=("text_len",))
+            sk = kll_merge(kll_merge(kll_sketch(long_tl, "minute", k=64), "hour", k=64), "day", k=64)
+            _force(kll_quantiles(sk))
+
+        timed("sketch_kll_day_sf", _kll_day)
+
+        def _kll_claim():
+            # the DRIVER-GATE query (claim verification: rank bound +
+            # weight conservation re-derived from raw in-query) — timed
+            # separately so the production numbers above are never
+            # conflated with the checking machinery's cost
+            from ts_raster_spark import queries as Q
+
+            _force(Q.q_sketch_kll_hour(spark, sf_dir))
+
+        timed("sketch_kll_hour_claim_sf", _kll_claim)
+
         def _mg():
             from ts_raster_spark.operators.mg import mg_merge, mg_sketch
 

@@ -63,6 +63,9 @@ ALLOWED_TAIL = {
     # demoted round 5 for the sketch_merge_retention slot: multi-green,
     # three stream siblings remain in-window
     "stream_rollup_minute",
+    # round-5 tail addition: high-cardinality capped-partials MG,
+    # local-gate attested; in-window siblings mg_top_tools_hour/day
+    "mg_ngrams_hour",
 }
 
 # entries that MUST be inside the round-5 window: never-green or stale

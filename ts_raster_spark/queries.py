@@ -935,6 +935,61 @@ def q_sketch_merge_retention(spark, sf_dir):
     return finalize(out)
 
 
+def q_mg_ngrams_hour(spark, sf_dir):
+    """Round 5: the CAPPED-PARTIALS Misra-Gries path
+    (operators/mg.mg_sketch_capped → mg_partials) on a genuinely
+    unbounded-cardinality item column — text word-bigrams — the shape
+    the per-partition cap exists for (the pure-Catalyst build's
+    map-side dictionary is one row per distinct (bucket, item) per
+    partition, which for n-grams IS the shuffle).
+
+    The capped summary is partition-layout dependent, but its emitted
+    ERROR BOUND is exact for any layout, so the driver-checkable
+    surface is the claim (same contract as mg_top_tools_hour): every
+    retained bigram satisfies true−err ≤ weight ≤ true and every
+    bigram whose exact hour count exceeds err is retained; the oracle
+    restates the per-hour distinct-bigram count and the booleans."""
+    from ts_raster_spark.operators.mg import mg_sketch_capped
+
+    k = 8
+    t = load_turns(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    grams = F.expr(
+        "CASE WHEN size(_toks) >= 2 THEN "
+        "transform(sequence(0, size(_toks)-2), i -> concat(_toks[i], ' ', _toks[i+1])) "
+        "ELSE array() END"
+    )
+    t2 = (
+        t.withColumn("_toks", toks)
+        .select("ts", F.explode(grams).alias("ngram"))
+    )
+    sk = mg_sketch_capped(t2, "ngram", "hour", k=k)
+    errs = sk.groupBy("bucket_start").agg(F.max("err").alias("_err"))
+    real = sk.where(F.col("item").isNotNull()).select(
+        "bucket_start", F.col("item").alias("ngram"), "weight"
+    )
+    exact = t2.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start"), "ngram"
+    ).agg(F.count("*").cast("long").alias("_cnt"))
+    j = exact.join(real, ["bucket_start", "ngram"], "left").join(errs, "bucket_start")
+    in_bounds = F.when(
+        F.col("weight").isNotNull(),
+        (F.col("weight") <= F.col("_cnt"))
+        & (F.col("weight") >= F.col("_cnt") - F.col("_err")),
+    ).otherwise(F.lit(True))
+    covered = F.when(
+        F.col("_cnt") > F.col("_err"), F.col("weight").isNotNull()
+    ).otherwise(F.lit(True))
+    out = j.groupBy("bucket_start").agg(
+        F.count("*").cast("long").alias("n_ngrams"),
+        F.min(in_bounds.cast("int")).alias("bounds_ok"),
+        F.min(covered.cast("int")).alias("cover_ok"),
+    )
+    return finalize(out)
+
+
 def q_sketch_quantile_hour(spark, sf_dir):
     """Mergeable-sketch quantile cascade: minute-tier histogram sketches
     merged (bin-count sums) up to hour, quantiles read off the merged
