@@ -197,6 +197,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bigrams — local-gate attested (claim oracle), awaiting window
         # space; family sibling mg_top_tools_hour/day in-window
         "mg_ngrams_hour": Q.q_mg_ngrams_hour,
+        # round-5 tail addition: Bloom-pruned decontamination — result
+        # is row-identical to the exact path (no false negatives +
+        # exact confirm join), so the oracle is the exact SQL twin;
+        # in-window family sibling: curate_corpus (same decontaminate
+        # surface)
+        "decontaminate_bloom": Q.q_decontaminate_bloom,
     }
 
 
@@ -1056,6 +1062,9 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
             "FROM documents WHERE doc_id % 7 = 0)",
         ),
         "decontaminate": DD.decontaminate_sql(n=4, threshold=0.1),
+        # bloom variant is row-identical by construction (bloom prune +
+        # exact confirm); the exact SQL is its oracle too
+        "decontaminate_bloom": DD.decontaminate_sql(n=4, threshold=0.1),
         "embedding_quantize": DD.embedding_quantize_sql(),
         "hll_users_hour": _hll_users_hour_sql(),
         "curate_corpus": DD.curate_corpus_sql(

@@ -411,6 +411,21 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate_ngrams(train, bench, n=4, threshold=0.1)
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-pruned decontamination: the same contract as
+    `q_decontaminate` (identical rows by the no-false-negative
+    property — the oracle IS the exact SQL), but the training-side
+    n-gram stream is pre-filtered by a broadcast ~256 KiB Bloom bitmap
+    before the exact confirm semi-join, so at 100 TB the confirm
+    shuffle carries candidates (~FPR of clean mass), not the corpus."""
+    from ts_raster_spark.operators.bloom import decontaminate_ngrams_bloom
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return decontaminate_ngrams_bloom(train, bench, n=4, threshold=0.1)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Fixed-token chunking with overlap (RAG / pretraining windows) —
     pure array explode at scan speed, no shuffle."""
