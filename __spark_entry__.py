@@ -203,6 +203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window family sibling: curate_corpus (same decontaminate
         # surface)
         "decontaminate_bloom": Q.q_decontaminate_bloom,
+        # round-5 tail addition: one-pass multi-grain marginals
+        # (GROUPING SETS / Expand) — in-window siblings cover each
+        # single grain (turn_count_hour, top_tools_hour)
+        "rollup_grouping_sets": Q.q_rollup_grouping_sets,
     }
 
 
@@ -1065,6 +1069,26 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
         # bloom variant is row-identical by construction (bloom prune +
         # exact confirm); the exact SQL is its oracle too
         "decontaminate_bloom": DD.decontaminate_sql(n=4, threshold=0.1),
+        # GROUPING SETS marginals: DuckDB GROUPING(b, tool) bitmask
+        # order (first arg = MSB) matches Spark grouping_id()
+        "rollup_grouping_sets": f"""{TURNS_CTE},
+pre AS (
+    SELECT date_trunc('hour', ts) AS b, tool, conv_id,
+           CAST(length(text) AS DOUBLE) AS tl
+    FROM turns
+)
+SELECT
+    CASE WHEN GROUPING(b) = 1 THEN '(all)'
+         ELSE strftime(b, '{TS_FMT}') END AS bucket_start,
+    CASE WHEN GROUPING(tool) = 1 THEN '(all)'
+         ELSE coalesce(tool, '(none)') END AS tool,
+    CAST(GROUPING(b, tool) AS INT) AS grain_id,
+    CAST(count(*) AS BIGINT) AS n_turns,
+    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+    round(avg(tl), 4) AS avg_text_len
+FROM pre
+GROUP BY GROUPING SETS ((b, tool), (b), (tool), ())
+""",
         "embedding_quantize": DD.embedding_quantize_sql(),
         "hll_users_hour": _hll_users_hour_sql(),
         "curate_corpus": DD.curate_corpus_sql(

@@ -66,6 +66,11 @@ ALLOWED_TAIL = {
     # round-5 tail addition: high-cardinality capped-partials MG,
     # local-gate attested; in-window siblings mg_top_tools_hour/day
     "mg_ngrams_hour",
+    # round-5 tail additions: bloom-pruned decontamination (row-equal
+    # to exact; sibling curate_corpus) and one-pass GROUPING SETS
+    # marginals (siblings turn_count_hour / top_tools_hour)
+    "decontaminate_bloom",
+    "rollup_grouping_sets",
 }
 
 # entries that MUST be inside the round-5 window: never-green or stale

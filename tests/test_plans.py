@@ -100,3 +100,21 @@ def test_bucket_pruning_in_catalog(spark, turns_small, tmp_path):
     # the scan must not enumerate all 8 bucket dirs
     assert "bucket_id" in plan
     one.collect()
+
+
+def test_grouping_sets_single_expand_no_python(spark):
+    """q_rollup_grouping_sets: four grains from ONE scan — exactly one
+    Expand over projected columns, the standard two-phase-distinct
+    exchange budget (3), zero Python stages."""
+    import re
+
+    from ts_raster_spark import queries as Q
+
+    plan = _plan(Q.q_rollup_grouping_sets(spark, SF))
+    assert plan.count("Expand") == 1, plan
+    assert len(re.findall(r"Exchange", plan)) <= 3, plan
+    assert "Python" not in plan
+    # the Expand happens after projection: corpus text must not be in
+    # its output (only the derived length rides the replication)
+    expand_block = plan.split("Expand")[1][:400]
+    assert "text#" not in expand_block, expand_block

@@ -1421,6 +1421,52 @@ def q_rollup_5min(spark, sf_dir):
     return finalize(out)
 
 
+def q_rollup_grouping_sets(spark, sf_dir):
+    """Multi-grain marginals in ONE pass (GROUPING SETS): per
+    (hour, tool), per hour, per tool, and grand total — the scan-once
+    pattern that replaces four separate jobs at 100 TB. Catalyst plans
+    ONE Expand (x4 row replication of the PROJECTED columns only, not
+    the corpus text) feeding partial-aggregated shuffles; the distinct
+    n_convs rides the same expand (two-phase distinct adds its one
+    extra exchange over (grain, conv_id) partials — still one scan,
+    plan-asserted: 1 Expand / 3 exchanges / zero Python). Marginal cells are
+    disambiguated from data NULLs by grouping flags: '(all)' marks an
+    aggregated-away axis, '(none)' a genuine NULL tool, and grain_id
+    is Spark's grouping_id() (first grouping column = MSB — verified
+    identical to DuckDB's GROUPING(b, tool))."""
+    t = load_turns(spark, sf_dir)
+    pre = t.select(
+        F.date_trunc("hour", F.col("ts")).alias("b"),
+        "tool",
+        "conv_id",
+        F.length("text").cast("double").alias("tl"),
+    )
+    out = (
+        pre.groupingSets([["b", "tool"], ["b"], ["tool"], []], "b", "tool")
+        .agg(
+            F.grouping_id().cast("int").alias("grain_id"),
+            F.count("*").cast("long").alias("n_turns"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.avg("tl").alias("avg_text_len"),
+        )
+        .select(
+            # grain_id bits recover the grouping flags outside agg
+            # context: first grouping column (b) is the MSB
+            F.when(F.expr("grain_id & 2") != 0, F.lit("(all)"))
+            .otherwise(F.date_format("b", "yyyy-MM-dd HH:mm:ss"))
+            .alias("bucket_start"),
+            F.when(F.expr("grain_id & 1") != 0, F.lit("(all)"))
+            .otherwise(F.coalesce("tool", F.lit("(none)")))
+            .alias("tool"),
+            "grain_id",
+            "n_turns",
+            "n_convs",
+            "avg_text_len",
+        )
+    )
+    return finalize(out)
+
+
 def q_top_tools_hour(spark, sf_dir):
     """Top-3 tools per hour by call count (heavy-hitters per bucket):
     grouped count + dense window rank, deterministic tie-break on tool
