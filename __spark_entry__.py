@@ -207,7 +207,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (GROUPING SETS / Expand) — in-window siblings cover each
         # single grain (turn_count_hour, top_tools_hour)
         "rollup_grouping_sets": Q.q_rollup_grouping_sets,
+        # round-5 tail addition: KMV set-algebra sketch (exact twin via
+        # engine-neutral kmvsql expressions); in-window distinct-count
+        # siblings hll_users_hour / cohort_retention
+        "kmv_retention_hour": Q.q_kmv_retention_hour,
     }
+
+
+def _kmv_retention_sql(k: int = 64) -> str:
+    """Twin of queries.q_kmv_retention_hour. The sketch (k smallest
+    md5 hex per bucket) and every estimator are the SAME SQL text
+    Spark executes (functions/kmvsql.py), so the set-algebra estimates
+    replay exactly — an ordinary value-hash oracle, not a claim."""
+    from ts_raster_spark.functions import kmvsql as KV
+
+    frac = KV.fraction_expr("h")
+    d_union = KV.distinct_est_expr("agg.n_kept", "agg.v_max", k)
+    d_inter = KV.scaled_est_expr("agg.n_both", "agg.n_kept", d_union)
+    d_curr = f"coalesce({KV.distinct_est_expr('ea.n_kept', 'ea.v_max', k)}, 0.0)"
+    d_prev = f"coalesce({KV.distinct_est_expr('eb.n_kept', 'eb.v_max', k)}, 0.0)"
+    return f"""{TURNS_CTE},
+cur AS (SELECT DISTINCT date_trunc('hour', ts) AS b, {KV.md5_expr('conv_id')} AS h FROM turns),
+prv AS (SELECT DISTINCT date_trunc('hour', ts) + INTERVAL 1 HOUR AS b, {KV.md5_expr('conv_id')} AS h FROM turns),
+ska AS (SELECT b, h FROM (SELECT b, h, row_number() OVER (PARTITION BY b ORDER BY h) AS r FROM cur) x WHERE r <= {k}),
+skb AS (SELECT b, h FROM (SELECT b, h, row_number() OVER (PARTITION BY b ORDER BY h) AS r FROM prv) x WHERE r <= {k}),
+merged AS (
+    SELECT b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT b, h, 1 AS in_a, 0 AS in_b FROM ska
+        UNION ALL
+        SELECT b, h, 0 AS in_a, 1 AS in_b FROM skb
+    ) u GROUP BY b, h),
+top AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY b ORDER BY h) AS r FROM merged) x WHERE r <= {k}),
+agg AS (SELECT b, CAST(count(*) AS BIGINT) AS n_kept, max({frac}) AS v_max,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_both FROM top GROUP BY b),
+ea AS (SELECT b, CAST(count(*) AS BIGINT) AS n_kept, max({frac}) AS v_max FROM ska GROUP BY b),
+eb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_kept, max({frac}) AS v_max FROM skb GROUP BY b)
+SELECT strftime(agg.b, '{TS_FMT}') AS bucket_start,
+    {sql_r4(d_curr)} AS d_curr,
+    {sql_r4(d_prev)} AS d_prev,
+    {sql_r4(d_union)} AS d_union,
+    {sql_r4(d_inter)} AS d_inter,
+    {sql_r4(f'greatest(0.0, {d_curr} - {d_inter})')} AS d_curr_only,
+    {sql_r4(f'{d_inter} / {d_union}')} AS jaccard
+FROM agg
+LEFT JOIN ea ON ea.b = agg.b
+LEFT JOIN eb ON eb.b = agg.b
+"""
 
 
 def _hll_users_hour_sql() -> str:
@@ -1091,6 +1136,7 @@ GROUP BY GROUPING SETS ((b, tool), (b), (tool), ())
 """,
         "embedding_quantize": DD.embedding_quantize_sql(),
         "hll_users_hour": _hll_users_hour_sql(),
+        "kmv_retention_hour": _kmv_retention_sql(k=64),
         "curate_corpus": DD.curate_corpus_sql(
             min_quality=0.5, n=4, threshold=0.1
         ),

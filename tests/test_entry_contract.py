@@ -71,6 +71,9 @@ ALLOWED_TAIL = {
     # marginals (siblings turn_count_hour / top_tools_hour)
     "decontaminate_bloom",
     "rollup_grouping_sets",
+    # round-5 tail addition: KMV set-algebra sketch, exact twin via
+    # engine-neutral kmvsql (siblings hll_users_hour/cohort_retention)
+    "kmv_retention_hour",
 }
 
 # entries that MUST be inside the round-5 window: never-green or stale

@@ -504,6 +504,29 @@ def q_hll_users_hour(spark, sf_dir):
     return finalize(hll_distinct_over_tiers(t, entity="conv_id", fine="minute", coarse="hour"))
 
 
+def q_kmv_retention_hour(spark, sf_dir):
+    """Cross-period distinct SET ALGEBRA from KMV sketches (the op HLL
+    registers cannot express): per hour, this hour's conversations vs
+    the previous hour's — estimated distincts for each cohort, their
+    union, intersection (returning), difference (new), and Jaccard —
+    computed entirely from two k=64-row-per-bucket sketches. Every
+    number is a deterministic function of the entity sets via the
+    engine-neutral kmvsql expressions, so the DuckDB twin replays the
+    estimates EXACTLY (no claim oracle needed)."""
+    from ts_raster_spark.operators.kmv import kmv_set_ops, kmv_sketch
+
+    t = load_turns(spark, sf_dir)
+    cur = t.withColumn("bucket_start", F.date_trunc("hour", F.col("ts")))
+    prev = t.withColumn(
+        "bucket_start",
+        F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR"),
+    )
+    sa = kmv_sketch(cur, "conv_id", ["bucket_start"], k=64)
+    sb = kmv_sketch(prev, "conv_id", ["bucket_start"], k=64)
+    out = kmv_set_ops(sa, sb, ["bucket_start"], k=64, names=("curr", "prev"))
+    return finalize(out)
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Absmax int8 quantization of the embedding column with checksum +
     reconstruction-error attestation (pure array expressions, no UDF)."""
