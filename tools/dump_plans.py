@@ -182,6 +182,35 @@ AUDITS = [
         "FlatMapGroupsInPandas (Arrow batches) — the applyInPandas "
         "contract for inherently sequential per-series selection.",
     ),
+    (
+        "decontaminate_bloom",
+        Q.q_decontaminate_bloom,
+        "Bloom-pruned decontamination (round 5): the bitmap joins in "
+        "as a broadcast 1-row relation (a BroadcastNestedLoopJoin of "
+        "the intended scalar shape) and the membership test is a "
+        "static codegen conjunction — NO exchange is added to the "
+        "probe side and no Python appears anywhere; the exact confirm "
+        "semi-join sits above the bloom filter, so its shuffle carries "
+        "candidates only.",
+    ),
+    (
+        "rollup_grouping_sets",
+        Q.q_rollup_grouping_sets,
+        "GROUPING SETS marginals (round 5): exactly ONE Expand node "
+        "over the projected columns (bucket/tool/conv_id/length — the "
+        "corpus text column must NOT appear in the Expand output), "
+        "feeding partial-aggregated exchanges (<=3 total incl. the "
+        "two-phase distinct) — four grains from one scan.",
+    ),
+    (
+        "kmv_retention_hour",
+        Q.q_kmv_retention_hour,
+        "KMV set algebra (round 5): each cohort reduces to k=64 sketch "
+        "rows per bucket via map-side-combined distinct + a per-bucket "
+        "sort-window top-k (spillable, skew-safe); every join/window "
+        "after the sketch build moves only sketch rows; the estimators "
+        "are pure projections (no kernel, no extra aggregate over raw).",
+    ),
 ]
 
 
