@@ -227,7 +227,7 @@ def main():
         "",
         "Raw JSON:",
         "```json",
-        json.dumps({"local8": lo, "local32": hi,
+        json.dumps({f"local{N_LOW}": lo, f"local{N_HIGH}": hi,
                     "python_ceiling_eff": round(py_ceiling, 3),
                     "jvm_ceiling_eff": round(jvm_ceiling, 3)}),
         "```",
