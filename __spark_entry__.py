@@ -211,6 +211,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine-neutral kmvsql expressions); in-window distinct-count
         # siblings hll_users_hour / cohort_retention
         "kmv_retention_hour": Q.q_kmv_retention_hour,
+        # round-5 tail additions: monitoring layer over tier series —
+        # CUSUM drift (prefix-identity window SQL), hour-of-day
+        # climatology residuals, all-pairs tool correlation; in-window
+        # family siblings anomaly_turns / new_convs_hour /
+        # top_tools_hour
+        "cusum_changepoints": Q.q_cusum_changepoints,
+        "seasonal_anomaly_hour": Q.q_seasonal_anomaly_hour,
+        "tool_corr_hour": Q.q_tool_corr_hour,
     }
 
 
@@ -1378,4 +1386,87 @@ FROM ranked WHERE rank <= 3
                            "tests", "golden", "lttb_golden.parquet")
             + "' WHERE n_events = (SELECT count(*) FROM events)"
         ),
+        # CUSUM via the prefix identity S_t = P_t - min(0, run_min(P));
+        # alarm boundary quantized dimensionless at 9 dp (the
+        # anomaly_turns contract) — twin of operators/changepoint.py
+        "cusum_changepoints": f"""{TURNS_CTE},
+stats AS (
+    SELECT conv_id, turn_idx, value,
+        avg(value) OVER (PARTITION BY conv_id) AS mu,
+        stddev_pop(value) OVER (PARTITION BY conv_id) AS sig
+    FROM turns
+),
+pref AS (
+    SELECT conv_id, turn_idx, sig,
+        sum(value - mu - 0.5 * sig) OVER w AS p_pos,
+        sum(mu - value - 0.5 * sig) OVER w AS p_neg
+    FROM stats
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)
+),
+scored AS (
+    SELECT conv_id, turn_idx, sig,
+        p_pos - least(0.0, min(p_pos) OVER w) AS s_pos,
+        p_neg - least(0.0, min(p_neg) OVER w) AS s_neg
+    FROM pref
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)
+)
+SELECT conv_id, turn_idx,
+    round(s_pos, 4) AS cusum_pos,
+    round(s_neg, 4) AS cusum_neg,
+    CAST(CASE WHEN sig > 0 AND round(s_pos / sig - 4.0, 9) > 0
+         THEN 1 ELSE 0 END AS INTEGER) AS alarm_pos,
+    CAST(CASE WHEN sig > 0 AND round(s_neg / sig - 4.0, 9) > 0
+         THEN 1 ELSE 0 END AS INTEGER) AS alarm_neg
+FROM scored
+""",
+        # hour-of-day climatology over the hourly tier — twin of
+        # operators/seasonal.py (extract(hour) == Spark hour())
+        "seasonal_anomaly_hour": f"""{TURNS_CTE},
+hourly AS (
+    SELECT date_trunc('hour', ts) AS b, CAST(count(*) AS BIGINT) AS n_turns
+    FROM turns GROUP BY 1
+),
+prof AS (
+    SELECT b, n_turns,
+        CAST(extract(hour FROM b) AS INTEGER) AS hod,
+        avg(CAST(n_turns AS DOUBLE)) OVER w AS m,
+        stddev_pop(CAST(n_turns AS DOUBLE)) OVER w AS s
+    FROM hourly
+    WINDOW w AS (PARTITION BY extract(hour FROM b))
+)
+SELECT strftime(b, '{TS_FMT}') AS bucket_start, hod, n_turns,
+    round(m, 4) AS season_mean,
+    round(s, 4) AS season_sig,
+    round(n_turns - m, 4) AS resid,
+    CASE WHEN s > 0 THEN round((n_turns - m) / s, 4) END AS resid_z
+FROM prof
+""",
+        # all-pairs Pearson over co-observed hour buckets — twin of
+        # operators/correlate.py (inner self-join; explicit raw-moment
+        # Pearson so a constant side yields NULL and the sums replay
+        # exactly — integer-valued inputs, not engine corr())
+        "tool_corr_hour": f"""{TURNS_CTE},
+tool_hourly AS (
+    SELECT date_trunc('hour', ts) AS b, tool, CAST(count(*) AS DOUBLE) AS n
+    FROM turns WHERE tool IS NOT NULL GROUP BY 1, 2
+),
+mom AS (
+    SELECT a.tool AS series_a, b.tool AS series_b,
+        CAST(count(*) AS BIGINT) AS n_buckets,
+        sum(a.n) AS sa, sum(b.n) AS sb, sum(a.n * b.n) AS sab,
+        sum(a.n * a.n) AS saa, sum(b.n * b.n) AS sbb
+    FROM tool_hourly a JOIN tool_hourly b ON a.b = b.b AND a.tool < b.tool
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+)
+SELECT series_a, series_b,
+    CASE WHEN (n_buckets * saa - sa * sa) > 0
+          AND (n_buckets * sbb - sb * sb) > 0
+         THEN round((n_buckets * sab - sa * sb)
+                    / sqrt((n_buckets * saa - sa * sa)
+                           * (n_buckets * sbb - sb * sb)), 4)
+    END AS pearson_r,
+    n_buckets
+FROM mom
+""",
     }

@@ -74,6 +74,12 @@ ALLOWED_TAIL = {
     # round-5 tail addition: KMV set-algebra sketch, exact twin via
     # engine-neutral kmvsql (siblings hll_users_hour/cohort_retention)
     "kmv_retention_hour",
+    # round-5 tail additions: monitoring layer — CUSUM drift (sibling
+    # anomaly_turns), hour-of-day climatology (sibling new_convs_hour),
+    # all-pairs tool correlation (sibling top_tools_hour)
+    "cusum_changepoints",
+    "seasonal_anomaly_hour",
+    "tool_corr_hour",
 }
 
 # entries that MUST be inside the round-5 window: never-green or stale

@@ -1660,3 +1660,72 @@ def q_anomaly_turns(spark, sf_dir):
         .select("conv_id", "turn_idx", "value", F.col("_z").alias("zscore"))
     )
     return finalize(out)
+
+
+def q_cusum_changepoints(spark, sf_dir):
+    """Two-sided CUSUM drift scores on the per-conversation value
+    channel (operators/changepoint.py): sustained mean shifts the
+    per-point z-flags of q_anomaly_turns miss. Pure window SQL via the
+    prefix identity S_t = P_t - min(0, running_min(P)); one exchange
+    on conv_id. Alarm boundary quantized dimensionless (9-dp on
+    S/sigma, the q_anomaly_turns contract)."""
+    from ts_raster_spark.operators.changepoint import cusum
+
+    t = load_turns(spark, sf_dir)
+    return finalize(
+        cusum(t, value_col="value", entity_cols=("conv_id",),
+              order_col="turn_idx", k=0.5, h=4.0)
+    )
+
+
+def q_seasonal_anomaly_hour(spark, sf_dir):
+    """Hour-of-day climatology over the hourly turn-count tier
+    (operators/seasonal.py): per-bucket residual and z against the
+    same-hour profile across all days. One groupBy + one 24-partition
+    window over the (already tiny) hourly tier."""
+    from ts_raster_spark.operators.seasonal import seasonal_baseline
+
+    t = load_turns(spark, sf_dir)
+    hourly = (
+        t.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    )
+    out = seasonal_baseline(hourly, "bucket_start", "n_turns", period="hod")
+    return finalize(
+        out.select(
+            "bucket_start",
+            F.col("pkey").alias("hod"),
+            "n_turns",
+            "season_mean",
+            "season_sig",
+            "resid",
+            "resid_z",
+        )
+    )
+
+
+def q_tool_corr_hour(spark, sf_dir):
+    """All-pairs Pearson correlation of hourly per-tool activity
+    (operators/correlate.py): alignment is a self-equi-join on the
+    hour bucket (hash join, never cartesian), reduction is a map-side
+    combinable corr over pairs. Compose with mg_top for wide series
+    spaces (docstring, correlate.py)."""
+    from ts_raster_spark.operators.correlate import pairwise_corr
+
+    t = load_turns(spark, sf_dir)
+    tool_hourly = (
+        t.where(F.col("tool").isNotNull())
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
+            "tool",
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    out = pairwise_corr(tool_hourly, "bucket_start", "tool", "n", min_buckets=2)
+    return finalize(
+        out.select(
+            "series_a", "series_b",
+            F.col("corr").alias("pearson_r"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+        )
+    )
