@@ -211,6 +211,31 @@ AUDITS = [
         "after the sketch build moves only sketch rows; the estimators "
         "are pure projections (no kernel, no extra aggregate over raw).",
     ),
+    (
+        "cusum_changepoints",
+        Q.q_cusum_changepoints,
+        "CUSUM via the prefix identity (round 5): the sequential "
+        "recursion compiles to stacked Window nodes over ONE "
+        "hashpartitioning(conv_id) exchange beyond the turns "
+        "derivation — no Python, no self-join, no per-row UDF; "
+        "entities parallelize to the shuffle width.",
+    ),
+    (
+        "seasonal_anomaly_hour",
+        Q.q_seasonal_anomaly_hour,
+        "Seasonal climatology (round 5): profile is one 24-partition "
+        "window over the ALREADY-AGGREGATED hourly tier (partial "
+        "aggregation below, window above) — raw turns are scanned "
+        "exactly once.",
+    ),
+    (
+        "tool_corr_hour",
+        Q.q_tool_corr_hour,
+        "Pairwise Pearson (round 5): alignment is an equi-join on the "
+        "hour bucket (hash/broadcast, NO CartesianProduct or "
+        "BroadcastNestedLoopJoin); the pair reduction is raw-moment "
+        "sums with partial aggregation (map-side combine).",
+    ),
 ]
 
 
