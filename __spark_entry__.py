@@ -219,6 +219,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": Q.q_cusum_changepoints,
         "seasonal_anomaly_hour": Q.q_seasonal_anomaly_hour,
         "tool_corr_hour": Q.q_tool_corr_hour,
+        # round-5 tail additions: Mann-Kendall robust trend (exact
+        # integer S/Var; sibling conv_features' agg_linear_trend) and
+        # sketch-tier PSI distribution drift (sibling
+        # sketch_quantile_hour — same histogram bins)
+        "mann_kendall_trend": Q.q_mann_kendall_trend,
+        "psi_drift_day": Q.q_psi_drift_day,
     }
 
 
@@ -1468,5 +1474,85 @@ SELECT series_a, series_b,
     END AS pearson_r,
     n_buckets
 FROM mom
+""",
+        # Mann-Kendall: S and tie-corrected Var are exact integer
+        # arithmetic — bit-exact twin of operators/trend.py; z boundary
+        # quantized dimensionless at 9 dp
+        "mann_kendall_trend": f"""{TURNS_CTE},
+pairs AS (
+    SELECT a.conv_id,
+        CAST(sum(CAST(sign(b.value - a.value) AS BIGINT)) AS BIGINT) AS s_stat
+    FROM turns a JOIN turns b
+      ON a.conv_id = b.conv_id AND a.turn_idx < b.turn_idx
+    GROUP BY 1
+),
+counts AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n FROM turns GROUP BY 1),
+ties AS (
+    SELECT conv_id, sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+    FROM (
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS t
+        FROM turns GROUP BY conv_id, value
+    ) GROUP BY 1
+),
+j AS (
+    SELECT c.conv_id, c.n, coalesce(p.s_stat, 0) AS s_stat,
+        CAST(c.n * (c.n - 1) * (2 * c.n + 5) - t.tie_term AS DOUBLE) / 18.0 AS var_s
+    FROM counts c JOIN ties t USING (conv_id) LEFT JOIN pairs p USING (conv_id)
+)
+SELECT conv_id, n, s_stat, round(var_s, 4) AS var_s,
+    CASE WHEN var_s > 0
+         THEN round((s_stat - sign(s_stat)) / sqrt(var_s), 4) END AS z,
+    CASE WHEN var_s > 0
+          AND round(abs((s_stat - sign(s_stat)) / sqrt(var_s)) - 1.96, 9) > 0
+         THEN CASE WHEN s_stat > 0 THEN 'increasing' ELSE 'decreasing' END
+         ELSE 'no_trend' END AS trend
+FROM j
+""",
+        # PSI from histogram-sketch bins: binning mirrors
+        # sketch_quantile_hour's twin; eps=0.5, eps*bins=32.0
+        "psi_drift_day": f"""{LONG_CTE},
+base AS (
+    SELECT kind, ts, value FROM long_panel WHERE kind IN ('text_len', 'latency_s')
+),
+rng AS (SELECT kind, min(value) AS lo, max(value) AS hi FROM base GROUP BY kind),
+binned AS (
+    SELECT b.kind, date_trunc('day', b.ts) AS bucket_start,
+        CASE WHEN r.hi > r.lo
+             THEN least(CAST(floor((b.value - r.lo) / ((r.hi - r.lo) / 64)) AS INTEGER), 63)
+             ELSE 0 END AS bin
+    FROM base b JOIN rng r ON b.kind = r.kind
+),
+sk AS (
+    SELECT kind, bucket_start, bin, CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY 1, 2, 3
+),
+scaffold AS (
+    SELECT d.kind, d.bucket_start, gs.bin
+    FROM (SELECT DISTINCT kind, bucket_start FROM sk) d
+    CROSS JOIN (SELECT unnest(range(64)) AS bin) gs
+),
+dense AS (
+    SELECT s.kind, s.bucket_start, s.bin, coalesce(sk.n, 0) AS n
+    FROM scaffold s LEFT JOIN sk USING (kind, bucket_start, bin)
+),
+lagd AS (
+    SELECT kind, bucket_start, bin, n,
+        lag(n) OVER (PARTITION BY kind, bin ORDER BY bucket_start) AS n_prev
+    FROM dense
+),
+tots AS (
+    SELECT kind, bucket_start, n, n_prev,
+        sum(n) OVER (PARTITION BY kind, bucket_start) AS tot,
+        sum(n_prev) OVER (PARTITION BY kind, bucket_start) AS tot_prev
+    FROM lagd
+)
+SELECT kind, strftime(bucket_start, '{TS_FMT}') AS bucket_start,
+    round(sum(((n + 0.5) / (tot + 32.0) - (n_prev + 0.5) / (tot_prev + 32.0))
+              * ln(((n + 0.5) / (tot + 32.0))
+                   / ((n_prev + 0.5) / (tot_prev + 32.0)))), 4) AS psi,
+    CAST(max(tot) AS BIGINT) AS n_curr,
+    CAST(max(tot_prev) AS BIGINT) AS n_prev
+FROM tots WHERE tot_prev IS NOT NULL
+GROUP BY 1, 2
 """,
     }

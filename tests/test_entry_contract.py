@@ -80,6 +80,11 @@ ALLOWED_TAIL = {
     "cusum_changepoints",
     "seasonal_anomaly_hour",
     "tool_corr_hour",
+    # round-5 tail additions: Mann-Kendall robust trend (sibling
+    # conv_features/agg_linear_trend) and sketch-tier PSI drift
+    # (sibling sketch_quantile_hour — same histogram bins)
+    "mann_kendall_trend",
+    "psi_drift_day",
 }
 
 # entries that MUST be inside the round-5 window: never-green or stale

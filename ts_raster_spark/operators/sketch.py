@@ -105,3 +105,62 @@ def sketch_quantiles(
         aggs.append(F.min(F.when(hit, est)).alias(name))
     aggs.append(F.max("_tot").cast("long").alias("turn_count"))
     return d.groupBy(*keys).agg(*aggs)
+
+
+def psi_drift(
+    sketch: DataFrame, bins: int = 64, eps: float = 0.5
+) -> DataFrame:
+    """Population Stability Index between consecutive buckets, straight
+    from histogram-sketch bins — the distribution-shift monitor for
+    training-data pipelines ("did yesterday's feature distribution move"),
+    computed WITHOUT rescanning raw data.
+
+        PSI = sum_bins (p_i - q_i) * ln(p_i / q_i)
+
+    with Laplace smoothing ``p_i = (n_i + eps) / (N + eps*bins)`` so
+    empty bins are defined (standard practice; eps=0.5 = Jeffreys).
+    Common reading: <0.1 stable, 0.1-0.25 moderate, >0.25 major shift.
+
+    Input is the exploded sketch (kind[, conv_id], bucket_start, bin, n);
+    entity keys are summed out (PSI is a corpus-level monitor).  The
+    per-(kind, bin) lag aligns each bucket with the previous OBSERVED
+    bucket over a dense bin scaffold, so the whole operator is two
+    windows + one explode over bin rows — |kinds| * |buckets| * bins
+    rows total, trivially small next to raw at any scale, and entirely
+    deterministic: the DuckDB twin replays it exactly.
+    """
+    g = sketch.groupBy("kind", "bucket_start", "bin").agg(F.sum("n").alias("n"))
+    scaffold = (
+        g.select("kind", "bucket_start")
+        .distinct()
+        .select(
+            "kind",
+            "bucket_start",
+            F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+        )
+    )
+    dense = scaffold.join(g, ["kind", "bucket_start", "bin"], "left").fillna({"n": 0})
+    w_prev = Window.partitionBy("kind", "bin").orderBy("bucket_start")
+    w_day = Window.partitionBy("kind", "bucket_start")
+    d = (
+        dense.withColumn("n_prev", F.lag("n").over(w_prev))
+        .withColumn("_tot", F.sum("n").over(w_day))
+        # sum() skips nulls: the first observed bucket (all n_prev null)
+        # yields null _tot_prev and is dropped below
+        .withColumn("_tot_prev", F.sum("n_prev").over(w_day))
+        .where(F.col("_tot_prev").isNotNull())
+    )
+    e = F.lit(float(eps))
+    denom = e * bins
+    p = (F.col("n") + e) / (F.col("_tot") + denom)
+    q = (F.col("n_prev") + e) / (F.col("_tot_prev") + denom)
+    term = (p - q) * F.log(p / q)
+    return (
+        d.withColumn("_term", term)
+        .groupBy("kind", "bucket_start")
+        .agg(
+            F.sum("_term").alias("psi"),
+            F.max("_tot").cast("long").alias("n_curr"),
+            F.max("_tot_prev").cast("long").alias("n_prev"),
+        )
+    )

@@ -1729,3 +1729,33 @@ def q_tool_corr_hour(spark, sf_dir):
             F.col("n_buckets").cast("long").alias("n_buckets"),
         )
     )
+
+
+def q_mann_kendall_trend(spark, sf_dir):
+    """Per-conversation Mann-Kendall monotonic-trend test on the value
+    channel (operators/trend.py): robust drift companion to CUSUM
+    (shift) and agg_linear_trend (least-squares slope). Pair join is an
+    equi-join on conv_id; S/Var are exact integer arithmetic, so the
+    twin replays the test exactly."""
+    from ts_raster_spark.operators.trend import mann_kendall
+
+    t = load_turns(spark, sf_dir)
+    return finalize(
+        mann_kendall(t, value_col="value", entity_cols=("conv_id",),
+                     order_col="turn_idx", alpha_z=1.96)
+    )
+
+
+def q_psi_drift_day(spark, sf_dir):
+    """Day-over-day Population Stability Index per channel, computed
+    from histogram-sketch bins (operators/sketch.py psi_drift) — the
+    distribution-shift monitor runs off the sketch tier, never
+    rescanning raw. Dense 64-bin scaffold + per-(kind,bin) lag +
+    per-day window; fully deterministic, exact twin."""
+    from ts_raster_spark.operators.sketch import histogram_sketch, psi_drift, value_range
+
+    long_df = load_long(spark, sf_dir, channels=("text_len", "latency_s"))
+    rng = value_range(long_df)
+    sk = histogram_sketch(long_df, "day", rng, bins=64)
+    out = psi_drift(sk, bins=64, eps=0.5)
+    return finalize(out.select("kind", "bucket_start", "psi", "n_curr", "n_prev"))
