@@ -236,6 +236,22 @@ AUDITS = [
         "BroadcastNestedLoopJoin); the pair reduction is raw-moment "
         "sums with partial aggregation (map-side combine).",
     ),
+    (
+        "mann_kendall_trend",
+        Q.q_mann_kendall_trend,
+        "Mann-Kendall (round 5): the pair join is an EQUI-join on "
+        "conv_id (never cartesian across entities); S / tie-term / "
+        "count reductions all partial-aggregate; no Python.",
+    ),
+    (
+        "psi_drift_day",
+        Q.q_psi_drift_day,
+        "PSI drift (round 5): every node above the histogram-sketch "
+        "build moves only bin rows (kinds x days x 64); the dense "
+        "scaffold explode sits ABOVE the count aggregation, never "
+        "multiplying raw turns; lag/total windows partition on "
+        "(kind,bin)/(kind,day).",
+    ),
 ]
 
 
