@@ -225,6 +225,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch_quantile_hour — same histogram bins)
         "mann_kendall_trend": Q.q_mann_kendall_trend,
         "psi_drift_day": Q.q_psi_drift_day,
+        # round-5 tail additions: lead-lag cross-correlation (sibling
+        # tool_corr_hour) and classical additive decomposition
+        # (siblings seasonal_anomaly_hour / moving_stats)
+        "tool_leadlag_hour": Q.q_tool_leadlag_hour,
+        "decompose_hourly": Q.q_decompose_hourly,
     }
 
 
@@ -1554,5 +1559,66 @@ SELECT kind, strftime(bucket_start, '{TS_FMT}') AS bucket_start,
     CAST(max(tot_prev) AS BIGINT) AS n_prev
 FROM tots WHERE tot_prev IS NOT NULL
 GROUP BY 1, 2
+""",
+        # lead-lag Pearson: epoch-shifted equi-join + the same
+        # raw-moment formula as tool_corr_hour
+        "tool_leadlag_hour": f"""{TURNS_CTE},
+tool_hourly AS (
+    SELECT epoch(date_trunc('hour', ts)) AS e, tool,
+        CAST(count(*) AS DOUBLE) AS n
+    FROM turns WHERE tool IS NOT NULL GROUP BY 1, 2
+),
+lags AS (SELECT CAST(unnest([-2, -1, 0, 1, 2]) AS INTEGER) AS lag),
+mom AS (
+    SELECT a.tool AS series_a, b.tool AS series_b, l.lag AS lag,
+        CAST(count(*) AS BIGINT) AS n_buckets,
+        sum(a.n) AS sa, sum(b.n) AS sb, sum(a.n * b.n) AS sab,
+        sum(a.n * a.n) AS saa, sum(b.n * b.n) AS sbb
+    FROM tool_hourly a
+    CROSS JOIN lags l
+    JOIN tool_hourly b
+      ON b.e = a.e + l.lag * 3600.0 AND a.tool < b.tool
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 2
+)
+SELECT series_a, series_b, lag,
+    CASE WHEN (n_buckets * saa - sa * sa) > 0
+          AND (n_buckets * sbb - sb * sb) > 0
+         THEN round((n_buckets * sab - sa * sb)
+                    / sqrt((n_buckets * saa - sa * sa)
+                           * (n_buckets * sbb - sb * sb)), 4)
+    END AS pearson_r,
+    n_buckets
+FROM mom
+""",
+        # classical decomposition: 25-bucket centered MA (partial at
+        # edges in BOTH engines), hod seasonal centered by the
+        # row-weighted grand mean, resid = value - trend - seasonal
+        "decompose_hourly": f"""{TURNS_CTE},
+hourly AS (
+    SELECT date_trunc('hour', ts) AS b, CAST(count(*) AS BIGINT) AS n_turns
+    FROM turns GROUP BY 1
+),
+ma AS (
+    SELECT b, n_turns,
+        avg(CAST(n_turns AS DOUBLE)) OVER
+            (ORDER BY b ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+    FROM hourly
+),
+de AS (
+    SELECT b, n_turns, trend, n_turns - trend AS detr,
+        extract(hour FROM b) AS hod
+    FROM ma
+),
+se AS (
+    SELECT b, n_turns, trend,
+        avg(detr) OVER (PARTITION BY hod) - avg(detr) OVER () AS seasonal
+    FROM de
+)
+SELECT strftime(b, '{TS_FMT}') AS bucket_start, n_turns,
+    round(trend, 4) AS trend,
+    round(seasonal, 4) AS seasonal,
+    round(n_turns - trend - seasonal, 4) AS resid
+FROM se
 """,
     }

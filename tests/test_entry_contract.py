@@ -85,6 +85,11 @@ ALLOWED_TAIL = {
     # (sibling sketch_quantile_hour — same histogram bins)
     "mann_kendall_trend",
     "psi_drift_day",
+    # round-5 tail additions: lead-lag cross-correlation (sibling
+    # tool_corr_hour) and classical decomposition (siblings
+    # seasonal_anomaly_hour / moving_stats)
+    "tool_leadlag_hour",
+    "decompose_hourly",
 }
 
 # entries that MUST be inside the round-5 window: never-green or stale

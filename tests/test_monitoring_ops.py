@@ -168,3 +168,70 @@ def test_pairwise_corr_min_buckets(spark):
     got = pairwise_corr(df, "t", "series", "v", min_buckets=2).toPandas()
     # c co-observed with nothing: only the (a, b) pair survives
     assert got[["series_a", "series_b"]].values.tolist() == [["a", "b"]]
+
+
+def test_cross_corr_detects_lead(spark):
+    from ts_raster_spark.operators.correlate import cross_corr_lags
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(0, 1, 60).round(3)
+    t0 = pd.Timestamp(2024, 5, 1)
+    rows = []
+    for i in range(60):
+        ts = (t0 + pd.Timedelta(hours=i)).to_pydatetime()
+        rows.append((ts, "a", float(base[i])))
+        # b repeats a's value 2 hours LATER: a leads b by 2
+        if i >= 2:
+            rows.append((ts, "b", float(base[i - 2])))
+        else:
+            rows.append((ts, "b", float(rng.normal(0, 1))))
+    df = spark.createDataFrame(rows, "bucket_start timestamp, series string, v double")
+    got = (
+        cross_corr_lags(df, "bucket_start", "series", "v",
+                        lags=(-2, -1, 0, 1, 2), step_seconds=3600)
+        .toPandas()
+        .set_index("lag")
+    )
+    assert len(got) == 5
+    best = got["corr"].idxmax()
+    assert best == 2 and got.loc[2, "corr"] > 0.95
+    assert got.loc[0, "corr"] < 0.5
+    # NumPy cross-check at the peak lag
+    a_al = base[:-2]
+    b_al = base[:-2]  # b at t+2 equals a at t
+    exp = np.corrcoef(a_al, b_al)[0, 1]
+    assert abs(got.loc[2, "corr"] - exp) < 0.05  # edge rows differ
+
+
+def test_classical_decompose_reconstructs_and_recovers_season(spark):
+    from ts_raster_spark.operators.seasonal import classical_decompose
+
+    # 20 days of hourly data: linear trend + clean 24h seasonality
+    t0 = pd.Timestamp(2024, 6, 1)
+    season = {h: 30 * np.sin(2 * np.pi * h / 24) for h in range(24)}
+    rows = []
+    for i in range(20 * 24):
+        ts = (t0 + pd.Timedelta(hours=i)).to_pydatetime()
+        v = 1000 + 0.5 * i + season[i % 24]
+        rows.append((ts, float(round(v, 4))))
+    df = spark.createDataFrame(rows, "bucket_start timestamp, v double")
+    got = (
+        classical_decompose(df, "bucket_start", "v", period="hod", half_window=12)
+        .toPandas()
+        .sort_values("bucket_start")
+        .reset_index(drop=True)
+    )
+    # exact reconstruction everywhere (including edges)
+    np.testing.assert_allclose(
+        got["trend"] + got["seasonal"] + got["resid"], got["v"], atol=1e-9
+    )
+    # interior rows: trend tracks the line, seasonal tracks the sine,
+    # residual is near zero (a 25-point centered MA over period-24
+    # seasonality leaves a small leakage term — tolerance 2.0)
+    mid = got.iloc[50:-50]
+    np.testing.assert_allclose(
+        mid["trend"], 1000 + 0.5 * mid.index.to_numpy(), atol=2.0
+    )
+    hod = pd.to_datetime(mid["bucket_start"]).dt.hour.map(season)
+    np.testing.assert_allclose(mid["seasonal"], hod, atol=2.0)
+    assert mid["resid"].abs().max() < 3.0

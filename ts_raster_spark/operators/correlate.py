@@ -81,3 +81,67 @@ def pairwise_corr(
         F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb)).alias("corr"),
         "n_buckets",
     )
+
+
+def cross_corr_lags(
+    df: DataFrame,
+    time_col: str,
+    series_col: str,
+    value_col: str,
+    lags=(-2, -1, 0, 1, 2),
+    step_seconds: int = 3600,
+    min_buckets: int = 2,
+) -> DataFrame:
+    """Lead-lag cross-correlation: Pearson(A_t, B_{t + lag*step}) for
+    every unordered pair and every lag — "does search activity lead
+    browser activity by an hour".  lag > 0 means series_a LEADS
+    series_b by that many steps; negative lags cover the reverse, so
+    ``series_a < series_b`` with a symmetric lag set spans all ordered
+    relationships.
+
+    Scale shape: the lag set explodes onto the (tiny, post-rollup)
+    left side, alignment stays an EQUI-join on the shifted epoch key
+    (Catalyst hashes the ``_ta + lag*step`` expression — never a
+    cartesian), and the reduction is the same map-side-combinable
+    raw-moment sums as :func:`pairwise_corr`.
+    """
+    from ts_raster_spark.operators.longform import epoch_seconds
+
+    a = df.select(
+        epoch_seconds(F.col(time_col)).alias("_ta"),
+        F.col(series_col).alias("series_a"),
+        F.col(value_col).cast("double").alias("_va"),
+    ).withColumn("lag", F.explode(F.array(*[F.lit(int(k)) for k in lags])))
+    b = df.select(
+        epoch_seconds(F.col(time_col)).alias("_tb"),
+        F.col(series_col).alias("series_b"),
+        F.col(value_col).cast("double").alias("_vb"),
+    )
+    agg = (
+        a.join(
+            b,
+            (F.col("_tb") == F.col("_ta") + F.col("lag") * F.lit(float(step_seconds)))
+            & (F.col("series_a") < F.col("series_b")),
+        )
+        .groupBy("series_a", "series_b", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("_va").alias("_sa"),
+            F.sum("_vb").alias("_sb"),
+            F.sum(F.col("_va") * F.col("_vb")).alias("_sab"),
+            F.sum(F.col("_va") * F.col("_va")).alias("_saa"),
+            F.sum(F.col("_vb") * F.col("_vb")).alias("_sbb"),
+        )
+        .where(F.col("n_buckets") >= int(min_buckets))
+    )
+    n = F.col("n_buckets").cast("double")
+    cov = n * F.col("_sab") - F.col("_sa") * F.col("_sb")
+    va = n * F.col("_saa") - F.col("_sa") * F.col("_sa")
+    vb = n * F.col("_sbb") - F.col("_sb") * F.col("_sb")
+    return agg.select(
+        "series_a",
+        "series_b",
+        "lag",
+        F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb)).alias("corr"),
+        "n_buckets",
+    )

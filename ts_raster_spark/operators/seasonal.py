@@ -62,3 +62,50 @@ def seasonal_baseline(
             F.when(F.col("season_sig") > 0, F.col("resid") / F.col("season_sig")),
         )
     )
+
+
+def classical_decompose(
+    df: DataFrame,
+    ts_col: str = "bucket_start",
+    value_col: str = "n_turns",
+    period: str = "hod",
+    half_window: int = 12,
+    entity_cols: tuple = (),
+) -> DataFrame:
+    """Classical additive decomposition: value = trend + seasonal + resid.
+
+    trend    = centered moving average over ``2*half_window + 1``
+               buckets (partial at series edges — both engines average
+               the available frame, so the twin mirrors exactly);
+    seasonal = per-period-key mean of the detrended series, centered by
+               the row-weighted grand mean so components sum back to
+               the input (on balanced panels this equals the textbook
+               distinct-key centering);
+    resid    = value - trend - seasonal.
+
+    Designed for TIER series (hundreds-thousands of buckets per
+    entity): with no ``entity_cols`` the moving average runs in a
+    single window partition — fine for one corpus-level series, pass
+    entity keys to parallelize per entity at scale.
+    """
+    pk = period_key(ts_col, period).alias("pkey")
+    base = df.select(*df.columns, pk)
+    ecols = [F.col(c) for c in entity_cols]
+    x = F.col(value_col).cast("double")
+    w_ma = (
+        Window.partitionBy(*ecols)
+        .orderBy(ts_col)
+        .rowsBetween(-half_window, half_window)
+    )
+    d = base.withColumn("trend", F.avg(x).over(w_ma)).withColumn(
+        "_detr", x - F.col("trend")
+    )
+    w_pk = Window.partitionBy(*ecols, F.col("pkey"))
+    w_all = Window.partitionBy(*ecols)
+    d = d.withColumn(
+        "seasonal",
+        F.avg("_detr").over(w_pk) - F.avg("_detr").over(w_all),
+    )
+    return d.withColumn(
+        "resid", x - F.col("trend") - F.col("seasonal")
+    ).drop("_detr")

@@ -1759,3 +1759,53 @@ def q_psi_drift_day(spark, sf_dir):
     sk = histogram_sketch(long_df, "day", rng, bins=64)
     out = psi_drift(sk, bins=64, eps=0.5)
     return finalize(out.select("kind", "bucket_start", "psi", "n_curr", "n_prev"))
+
+
+def q_tool_leadlag_hour(spark, sf_dir):
+    """Lead-lag cross-correlation of hourly per-tool activity
+    (operators/correlate.py cross_corr_lags): Pearson(A_t, B_{t+lag})
+    for lags -2..2 hours — which tool's activity LEADS which. The lag
+    set explodes onto the tiny rolled-up side; alignment is an
+    equi-join on the shifted epoch key."""
+    from ts_raster_spark.operators.correlate import cross_corr_lags
+
+    t = load_turns(spark, sf_dir)
+    tool_hourly = (
+        t.where(F.col("tool").isNotNull())
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
+            "tool",
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    out = cross_corr_lags(
+        tool_hourly, "bucket_start", "tool", "n",
+        lags=(-2, -1, 0, 1, 2), step_seconds=3600, min_buckets=2,
+    )
+    return finalize(
+        out.select(
+            "series_a", "series_b", "lag",
+            F.col("corr").alias("pearson_r"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+        )
+    )
+
+
+def q_decompose_hourly(spark, sf_dir):
+    """Classical additive decomposition of the corpus hourly turn-count
+    series (operators/seasonal.py classical_decompose): trend (25-bucket
+    centered MA), hour-of-day seasonal (row-weighted centered), and
+    residual — value = trend + seasonal + resid by construction. Trend
+    is bit-exact across engines (integer inputs sum exactly)."""
+    from ts_raster_spark.operators.seasonal import classical_decompose
+
+    t = load_turns(spark, sf_dir)
+    hourly = (
+        t.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    )
+    out = classical_decompose(hourly, "bucket_start", "n_turns",
+                              period="hod", half_window=12)
+    return finalize(
+        out.select("bucket_start", "n_turns", "trend", "seasonal", "resid")
+    )
