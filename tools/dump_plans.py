@@ -252,6 +252,22 @@ AUDITS = [
         "multiplying raw turns; lag/total windows partition on "
         "(kind,bin)/(kind,day).",
     ),
+    (
+        "tool_leadlag_hour",
+        Q.q_tool_leadlag_hour,
+        "Lead-lag xcorr (round 5): the lag explode sits ABOVE the "
+        "hourly aggregation (5x on rolled-up rows, not raw turns); "
+        "alignment is an EQUI-join keyed on the shifted-epoch "
+        "expression — no CartesianProduct/BroadcastNestedLoopJoin.",
+    ),
+    (
+        "decompose_hourly",
+        Q.q_decompose_hourly,
+        "Classical decomposition (round 5): raw turns reduce to hourly "
+        "buckets BEFORE any window; the single-partition centered-MA "
+        "window runs over the tiny tier series only (pass entity_cols "
+        "to parallelize per entity at scale — operator docstring).",
+    ),
 ]
 
 
