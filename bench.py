@@ -235,6 +235,16 @@ def run(cpus: int, sf_dir: str, n_synth: int, skip_synth: bool = False, reps: in
             _force(mg_merge(mg_sketch(turns_sf, "tool", "minute", k=2), "hour", k=2))
 
         timed("mg_top_tools_hour_sf", _mg)
+
+        def _cusum():
+            # round-5 monitoring layer: full-table two-sided CUSUM over
+            # the per-conversation value channel — the prefix-identity
+            # window path (one entity exchange, zero Python)
+            from ts_raster_spark.operators.changepoint import cusum
+
+            _force(cusum(turns_sf, "value", ("conv_id",), "turn_idx"))
+
+        timed("cusum_changepoints_sf", _cusum)
         if os.path.exists(emb_path):
             emb = spark.read.parquet(emb_path)
             timed("ann_signlsh_sf", lambda: _force(signlsh_topk(emb, list(range(20)), k=3)))
