@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 
 from ts_raster_spark import queries as Q
+from ts_raster_spark.operators.holt import holt_oracle_sql
 from ts_raster_spark.operators.ml_prep import frac_hex
 from ts_raster_spark.sql import duck_docs as DD
 from ts_raster_spark.sql.duck_features import autocorr_sql, feature_select, r, sql_r4, stats_cte
@@ -230,6 +231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (siblings seasonal_anomaly_hour / moving_stats)
         "tool_leadlag_hour": Q.q_tool_leadlag_hour,
         "decompose_hourly": Q.q_decompose_hourly,
+        # round-5 tail addition: Holt forecasting kernel, EXACT twin
+        # via DuckDB recursive CTE (sibling ema_turns — same
+        # smoothing-family surface)
+        "holt_smoothing": Q.q_holt_smoothing,
     }
 
 
@@ -1621,4 +1626,8 @@ SELECT strftime(b, '{TS_FMT}') AS bucket_start, n_turns,
     round(n_turns - trend - seasonal, 4) AS resid
 FROM se
 """,
+        # Holt recursion replayed exactly via recursive CTE — the SQL
+        # text lives beside the kernel (operators/holt.py) so the two
+        # definitions evolve together
+        "holt_smoothing": holt_oracle_sql(TURNS_CTE, alpha=0.3, beta=0.1),
     }

@@ -90,6 +90,9 @@ ALLOWED_TAIL = {
     # seasonal_anomaly_hour / moving_stats)
     "tool_leadlag_hour",
     "decompose_hourly",
+    # round-5 tail addition: Holt forecasting kernel, exact
+    # recursive-CTE twin (sibling ema_turns — smoothing family)
+    "holt_smoothing",
 }
 
 # entries that MUST be inside the round-5 window: never-green or stale

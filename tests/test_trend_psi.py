@@ -138,3 +138,49 @@ def test_psi_drift_merges_entities(spark):
     assert len(got) == 1
     assert got.loc[0, "n_curr"] == 100 and got.loc[0, "n_prev"] == 100
     assert got.loc[0, "psi"] > 0  # half the corpus shifted
+
+
+def _holt_ref(x, a=0.3, g=0.1):
+    l = x[0]
+    b = (x[1] - x[0]) if len(x) > 1 else 0.0
+    out = [(l, b, l)]
+    for t in range(1, len(x)):
+        fit = l + b
+        l_new = a * x[t] + (1.0 - a) * (l + b)
+        b = g * (l_new - l) + (1.0 - g) * b
+        l = l_new
+        out.append((l, b, fit))
+    return out
+
+
+def test_holt_matches_reference_recursion(spark):
+    from ts_raster_spark.operators.holt import holt_smooth
+
+    rng = np.random.default_rng(31)
+    rows = []
+    series = {
+        "rand": rng.normal(10, 3, 80).round(3),
+        "line": 5.0 + 0.7 * np.arange(50),
+        "const": np.full(20, 9.0),
+        "single": np.array([4.0]),
+    }
+    for name, vals in series.items():
+        rows += [(name, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, value double")
+    got = holt_smooth(df).toPandas().sort_values(["conv_id", "turn_idx"])
+    for name, vals in series.items():
+        ref = _holt_ref(list(vals))
+        sub = got[got["conv_id"] == name]
+        np.testing.assert_allclose(sub["level"], [r[0] for r in ref], atol=1e-9)
+        np.testing.assert_allclose(sub["trend"], [r[1] for r in ref], atol=1e-9)
+        np.testing.assert_allclose(sub["fitted"], [r[2] for r in ref], atol=1e-9)
+    # exactly-linear input: the smoother locks on — trend converges to
+    # the slope and late fitted errors vanish
+    line = got[got["conv_id"] == "line"]
+    assert abs(line["trend"].iloc[-1] - 0.7) < 1e-6
+    tail_err = (line["fitted"] - (5.0 + 0.7 * line["turn_idx"])).iloc[10:]
+    assert tail_err.abs().max() < 1e-6
+    # constant series: level stays at the constant, trend at zero
+    const = got[got["conv_id"] == "const"]
+    np.testing.assert_allclose(const["level"], 9.0, atol=1e-12)
+    np.testing.assert_allclose(const["trend"], 0.0, atol=1e-12)

@@ -1809,3 +1809,18 @@ def q_decompose_hourly(spark, sf_dir):
     return finalize(
         out.select("bucket_start", "n_turns", "trend", "seasonal", "resid")
     )
+
+
+def q_holt_smoothing(spark, sf_dir):
+    """Holt linear-trend smoothing per conversation on the value
+    channel (operators/holt.py): level/trend states + one-step-ahead
+    fitted forecast. Genuinely iterative (coupled states, no stable
+    closed form) — an O(n) Arrow kernel at series granularity; the
+    DuckDB twin replays the identical recursion via a recursive CTE,
+    so the oracle is exact."""
+    from ts_raster_spark.operators.holt import holt_smooth
+
+    t = load_turns(spark, sf_dir)
+    out = holt_smooth(t, value_col="value", entity_cols=("conv_id",),
+                      order_col="turn_idx", alpha=0.3, beta=0.1)
+    return finalize(out.select("conv_id", "turn_idx", "level", "trend", "fitted"))
