@@ -225,6 +225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch-tier PSI distribution drift (sibling
         # sketch_quantile_hour — same histogram bins)
         "mann_kendall_trend": Q.q_mann_kendall_trend,
+        # round-5 tail addition: Theil-Sen robust slope — magnitude
+        # companion to mann_kendall_trend (same pair-join shape, exact
+        # median twin)
+        "theil_sen_trend": Q.q_theil_sen_trend,
         "psi_drift_day": Q.q_psi_drift_day,
         # round-5 tail additions: lead-lag cross-correlation (sibling
         # tool_corr_hour) and classical additive decomposition
@@ -235,7 +239,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via DuckDB recursive CTE (sibling ema_turns — same
         # smoothing-family surface)
         "holt_smoothing": Q.q_holt_smoothing,
+        # round-5 tail addition: M4 pixel-exact downsample — the pure
+        # window-SQL sibling of lttb_downsample (in-window family
+        # sibling), with a full EXACT twin (set semantics on ties)
+        "m4_downsample": Q.q_m4_downsample,
+        # round-5 tail addition: Count-Min point-frequency sketch on
+        # high-cardinality bigrams — engine-neutral md5 hashing makes
+        # the estimates bit-replayable (EXACT twin); in-window family
+        # siblings mg_top_tools_hour/day (frequency-sketch surface)
+        "cms_ngram_counts": Q.q_cms_ngram_counts,
     }
+
+
+def _cms_ngram_sql(d: int = 4, w: int = 256) -> str:
+    """Twin of queries.q_cms_ngram_counts. Build cells, estimate, and
+    bound flag all replay the SAME md5 integer arithmetic Spark
+    executes (functions/hllsql.py), so the CMS estimates are
+    bit-identical — an ordinary value-hash oracle, not a claim."""
+    from ts_raster_spark.functions import hllsql as H
+
+    return f"""{TURNS_CTE},
+toks AS (
+    SELECT ts,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+    FROM turns
+),
+ng AS (
+    SELECT ts,
+        unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS ngram
+    FROM toks WHERE len(tk) >= 2
+),
+hb AS (SELECT date_trunc('hour', ts) AS b, ngram FROM ng),
+rows_ AS (SELECT CAST(unnest(range({d})) AS INTEGER) AS row),
+ex AS (
+    SELECT hb.b, r.row,
+        {H.md5_expr("hb.ngram || '|' || CAST(r.row AS STRING)")} AS h
+    FROM hb CROSS JOIN rows_ r
+),
+cpos AS (SELECT b, row, CAST({H.hash32_expr('h')} % {w} AS INTEGER) AS pos FROM ex),
+cells AS (SELECT b, row, pos, CAST(count(*) AS BIGINT) AS c FROM cpos GROUP BY 1, 2, 3),
+exact AS (SELECT b, ngram, CAST(count(*) AS BIGINT) AS cnt FROM hb GROUP BY 1, 2),
+probes AS (SELECT b, ngram, cnt FROM exact WHERE cnt >= 2),
+pex AS (
+    SELECT p.b, p.ngram, p.cnt, r.row,
+        {H.md5_expr("p.ngram || '|' || CAST(r.row AS STRING)")} AS h
+    FROM probes p CROSS JOIN rows_ r
+),
+ppos AS (
+    SELECT b, ngram, cnt, row,
+        CAST({H.hash32_expr('h')} % {w} AS INTEGER) AS pos
+    FROM pex
+),
+est AS (
+    SELECT pp.b, pp.ngram, pp.cnt, min(coalesce(c.c, 0)) AS est
+    FROM ppos pp
+    LEFT JOIN cells c ON c.b = pp.b AND c.row = pp.row AND c.pos = pp.pos
+    GROUP BY 1, 2, 3
+)
+SELECT strftime(b, '{TS_FMT}') AS bucket_start, ngram, cnt, CAST(est AS BIGINT) AS est,
+    CAST(CASE WHEN est >= cnt THEN 1 ELSE 0 END AS INTEGER) AS ok_lower
+FROM est
+"""
 
 
 def _kmv_retention_sql(k: int = 64) -> str:
@@ -1518,6 +1582,31 @@ SELECT conv_id, n, s_stat, round(var_s, 4) AS var_s,
          ELSE 'no_trend' END AS trend
 FROM j
 """,
+        # Theil-Sen: every pairwise slope is one double division of
+        # exact integers, medians are exact interpolated percentiles —
+        # the multiset replays bit-identically, so the twin is exact
+        "theil_sen_trend": f"""{TURNS_CTE},
+slopes AS (
+    SELECT a.conv_id,
+        median((b.value - a.value) / CAST(b.turn_idx - a.turn_idx AS DOUBLE)) AS slope
+    FROM turns a JOIN turns b
+      ON a.conv_id = b.conv_id AND a.turn_idx < b.turn_idx
+    GROUP BY 1
+),
+counts AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n FROM turns GROUP BY 1),
+resid AS (
+    SELECT t.conv_id,
+        median(t.value - s.slope * CAST(t.turn_idx AS DOUBLE)) AS intercept
+    FROM turns t JOIN slopes s USING (conv_id)
+    GROUP BY 1
+)
+SELECT c.conv_id, c.n,
+    {sql_r4('s.slope')} AS slope,
+    {sql_r4('r.intercept')} AS intercept
+FROM counts c
+LEFT JOIN slopes s USING (conv_id)
+LEFT JOIN resid r USING (conv_id)
+""",
         # PSI from histogram-sketch bins: binning mirrors
         # sketch_quantile_hour's twin; eps=0.5, eps*bins=32.0
         "psi_drift_day": f"""{LONG_CTE},
@@ -1630,4 +1719,42 @@ FROM se
         # text lives beside the kernel (operators/holt.py) so the two
         # definitions evolve together
         "holt_smoothing": holt_oracle_sql(TURNS_CTE, alpha=0.3, beta=0.1),
+        # M4: bucket boundary is exact integer-µs arithmetic in double
+        # (< 2^53), extremes are window min/max, ties keep every row —
+        # set semantics replay identically, so the twin is exact
+        "m4_downsample": f"""{TURNS_CTE},
+base AS (
+    SELECT conv_id, turn_idx, ts, CAST(length(text) AS DOUBLE) AS text_len,
+        epoch_us(ts) AS e
+    FROM turns
+),
+sp AS (
+    SELECT *, min(e) OVER (PARTITION BY conv_id) AS lo,
+              max(e) OVER (PARTITION BY conv_id) AS hi
+    FROM base
+),
+bk AS (
+    SELECT conv_id, turn_idx, ts, text_len, e,
+        CASE WHEN hi > lo
+             THEN least(CAST(floor((CAST(e - lo AS DOUBLE) * 8.0)
+                                   / CAST(hi - lo AS DOUBLE)) AS BIGINT), 7)
+             ELSE 0 END AS bucket
+    FROM sp
+),
+ex AS (
+    SELECT *,
+        min(text_len) OVER w AS vmin, max(text_len) OVER w AS vmax,
+        min(e) OVER w AS emin, max(e) OVER w AS emax
+    FROM bk
+    WINDOW w AS (PARTITION BY conv_id, bucket)
+)
+SELECT conv_id, CAST(bucket AS INTEGER) AS bucket, turn_idx,
+    strftime(ts, '{TS_FMT_US}') AS ts,
+    {sql_r4('text_len')} AS text_len
+FROM ex
+WHERE text_len = vmin OR text_len = vmax OR e = emin OR e = emax
+""",
+        # CMS: engine-neutral md5 cell arithmetic — estimates replay
+        # bit-for-bit, see _cms_ngram_sql
+        "cms_ngram_counts": _cms_ngram_sql(),
     }

@@ -159,3 +159,56 @@ def test_ema_paths_agree_at_threshold(spark):
     closed = ema(df, 0.3, max_closed_form_n=1000).orderBy("turn_idx").toPandas()["ema"].to_numpy()
     kernel = ema(df, 0.3, max_closed_form_n=100).orderBy("turn_idx").toPandas()["ema"].to_numpy()
     np.testing.assert_allclose(closed, kernel, rtol=1e-9)
+
+
+# --- M4 pixel-exact downsample --------------------------------------------
+
+def _m4_ref(g: pd.DataFrame, width: int, y: str) -> set:
+    """Brute-force reference: per-bucket min/max of value and time."""
+    e = g["ts"].astype("int64") // 1000  # µs
+    lo, hi = e.min(), e.max()
+    if hi > lo:
+        b = np.minimum(((e - lo) * width // (hi - lo)), width - 1)
+        # integer floor of (e-lo)*w/(hi-lo): match the double-floor op
+        b = np.floor(((e - lo).to_numpy(float) * width) / float(hi - lo)).astype(int)
+        b = np.minimum(b, width - 1)
+    else:
+        b = np.zeros(len(g), dtype=int)
+    keep = set()
+    gg = g.assign(_b=b, _e=e)
+    for _, grp in gg.groupby("_b"):
+        for col, f in (( "_e", "idxmin"), ("_e", "idxmax"), (y, "idxmin"), (y, "idxmax")):
+            v = grp[col].min() if f == "idxmin" else grp[col].max()
+            keep |= set(grp.index[grp[col] == v])  # ALL ties, set semantics
+    return keep
+
+
+def test_m4_matches_reference(spark, turns_small):
+    from ts_raster_spark.operators.downsample import m4
+
+    t = turns_small.withColumn("text_len", F.length("text").cast("double"))
+    got = m4(t, width=8, y_col="text_len").toPandas()
+    pdf = t.select("conv_id", "turn_idx", "ts", "text_len").toPandas()
+    for conv_id, g in pdf.groupby("conv_id"):
+        g = g.reset_index(drop=True)
+        want = {(g.loc[i, "conv_id"], g.loc[i, "turn_idx"]) for i in _m4_ref(g, 8, "text_len")}
+        have = {
+            (r.conv_id, r.turn_idx)
+            for r in got[got.conv_id == conv_id].itertuples()
+        }
+        assert have == want, conv_id
+
+
+def test_m4_bounds_and_endpoints(spark, turns_small):
+    from ts_raster_spark.operators.downsample import m4
+
+    t = turns_small.withColumn("text_len", F.length("text").cast("double"))
+    got = m4(t, width=8, y_col="text_len").toPandas()
+    full = t.select("conv_id", "turn_idx").toPandas()
+    for conv_id, g in got.groupby("conv_id"):
+        n_conv = (full.conv_id == conv_id).sum()
+        # ≤ 4·width rows per series, never more than the series itself
+        assert len(g) <= min(4 * 8, n_conv)
+        # first and last rows always survive (they are bucket time extremes)
+        idx = full[full.conv_id == conv_id]["turn_idx"]
+        assert idx.min() in set(g.turn_idx) and idx.max() in set(g.turn_idx)

@@ -184,3 +184,45 @@ def test_holt_matches_reference_recursion(spark):
     const = got[got["conv_id"] == "const"]
     np.testing.assert_allclose(const["level"], 9.0, atol=1e-12)
     np.testing.assert_allclose(const["trend"], 0.0, atol=1e-12)
+
+
+# --- Theil-Sen robust slope ------------------------------------------------
+
+def _ts_ref(x: np.ndarray):
+    n = len(x)
+    if n < 2:
+        return None, None
+    slopes = [
+        (x[j] - x[i]) / (j - i) for i in range(n) for j in range(i + 1, n)
+    ]
+    slope = float(np.median(slopes))
+    inter = float(np.median(x - slope * np.arange(n)))
+    return slope, inter
+
+
+def test_theil_sen_matches_numpy(mk_input):
+    from ts_raster_spark.operators.trend import theil_sen
+
+    df, series = mk_input
+    got = theil_sen(df).toPandas().set_index("conv_id")
+    for name, vals in series.items():
+        slope, inter = _ts_ref(np.asarray(vals, dtype=float))
+        row = got.loc[name]
+        assert row["n"] == len(vals)
+        if slope is None:
+            assert pd.isna(row["slope"]) and pd.isna(row["intercept"])
+        else:
+            assert row["slope"] == pytest.approx(slope, abs=1e-9), name
+            assert row["intercept"] == pytest.approx(inter, abs=1e-9), name
+
+
+def test_theil_sen_outlier_robust(spark):
+    """One wild outlier must not move the slope (it moves OLS)."""
+    from ts_raster_spark.operators.trend import theil_sen
+
+    vals = [float(i) for i in range(30)]
+    vals[17] = 1e6  # outlier
+    rows = [("c", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, value double")
+    got = theil_sen(df).toPandas().iloc[0]
+    assert got["slope"] == pytest.approx(1.0, abs=0.05)

@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ts_raster_spark.operators.longform import epoch_seconds
 
@@ -68,6 +69,67 @@ def lttb_indices(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
         out.append(prev)
     out.append(n - 1)
     return np.asarray(out, dtype=np.int64)
+
+
+def m4(
+    df: DataFrame,
+    width: int = 8,
+    y_col: str = "text_len",
+    keys: tuple[str, ...] = ("conv_id",),
+) -> DataFrame:
+    """M4 visualization downsample per series (Jugel et al., VLDB 2014;
+    the error-free line-rendering aggregation shipped by TimescaleDB
+    as ``minmax``-style pixel queries).
+
+    Each series' time span is split into ``width`` equal pixel-column
+    buckets; a bucket contributes exactly the rows realizing its
+    min(y), max(y), min(t) and max(t) — the four extremes that make a
+    ``width``-pixel line render identical to the full-resolution plot.
+    Value ties keep every tying row (deterministic SET semantics — no
+    argmin tie-break to disagree on across engines/hosts).
+
+    Spark shape vs LTTB: where LTTB is inherently sequential (Arrow
+    kernel), M4 is PURE window SQL — two stacked windows, zero Python:
+      1. ``partitionBy(keys)``:  span (min/max epoch-µs) → bucket id
+         (integer µs arithmetic, exact in double < 2^53, so the bucket
+         boundary is bit-identical in DuckDB);
+      2. ``partitionBy(keys, bucket)``: the four extremes → filter.
+    At 100 TB that is two hash exchanges, the second on the FINER
+    (keys, bucket) key — i.e. skew-friendlier than the per-series
+    shuffle the kernel path needs.  Output rows: ≤ 4·width per series.
+
+    Reference parity: the reference plots full-resolution series
+    (example notebooks); M4/LTTB are the tier-store downsamples that
+    make that rendering feasible at scale.
+    """
+    klist = list(keys)
+    w_span = Window.partitionBy(*klist)
+    w_bucket = Window.partitionBy(*klist, "bucket")
+    e = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    lo, hi = F.min("_e").over(w_span), F.max("_e").over(w_span)
+    bucket = F.when(
+        hi > lo,
+        F.least(
+            F.floor(((F.col("_e") - lo).cast("double") * float(width)) / (hi - lo).cast("double")),
+            F.lit(width - 1).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    prepped = (
+        df.select(*klist, "turn_idx", "ts", F.col(y_col).cast("double").alias(y_col))
+        .withColumn("_e", e)
+        .withColumn("bucket", bucket)
+    )
+    keep = (
+        (F.col(y_col) == F.min(y_col).over(w_bucket))
+        | (F.col(y_col) == F.max(y_col).over(w_bucket))
+        | (F.col("_e") == F.min("_e").over(w_bucket))
+        | (F.col("_e") == F.max("_e").over(w_bucket))
+    )
+    return (
+        prepped.withColumn("_keep", keep)
+        .where(F.col("_keep"))
+        .select(*klist, F.col("bucket").cast("int").alias("bucket"), "turn_idx", "ts", y_col)
+    )
 
 
 def lttb(

@@ -1422,6 +1422,20 @@ def q_lttb_downsample(spark, sf_dir):
     return finalize(out, ts_fmt="yyyy-MM-dd HH:mm:ss.SSSSSS")
 
 
+def q_m4_downsample(spark, sf_dir):
+    """M4 pixel-exact downsample (Jugel et al. VLDB 2014) of each
+    conversation's text_len series into 8 pixel-column buckets
+    (operators/downsample.py m4): the four per-bucket extremes that
+    render identically to full resolution. Unlike LTTB this is pure
+    stacked-window SQL (zero Python, set semantics on ties), so the
+    DuckDB twin is EXACT, not golden."""
+    from ts_raster_spark.operators.downsample import m4
+
+    t = load_turns(spark, sf_dir).withColumn("text_len", F.length("text").cast("double"))
+    out = m4(t, width=8, y_col="text_len")
+    return finalize(out, ts_fmt="yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
 def q_rollup_5min(spark, sf_dir):
     """Arbitrary-width tumbling buckets (TimescaleDB time_bucket
     analog): 300-second buckets via epoch floor — the tier system only
@@ -1743,6 +1757,62 @@ def q_mann_kendall_trend(spark, sf_dir):
     return finalize(
         mann_kendall(t, value_col="value", entity_cols=("conv_id",),
                      order_col="turn_idx", alpha_z=1.96)
+    )
+
+
+def q_cms_ngram_counts(spark, sf_dir):
+    """Count-Min sketch point-frequency estimates (operators/cms.py)
+    over per-hour text word-bigrams — the unbounded-cardinality shape
+    the sketch exists for. Build is one map-side-combinable aggregate
+    capped at d*w cell rows per bucket per partition; probes are every
+    bigram with exact hourly count >= 2, joined back so the one-sided
+    guarantee (est >= exact) is visible in-query. All hashing is the
+    engine-neutral md5 arithmetic (functions/hllsql), so the ESTIMATES
+    replay bit-for-bit in DuckDB — an exact twin, not a claim."""
+    from ts_raster_spark.operators.cms import cms_build, cms_estimate
+
+    t = load_turns(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    grams = F.expr(
+        "CASE WHEN size(_toks) >= 2 THEN "
+        "transform(sequence(0, size(_toks)-2), i -> concat(_toks[i], ' ', _toks[i+1])) "
+        "ELSE array() END"
+    )
+    t2 = (
+        t.withColumn("_toks", toks)
+        .select("ts", F.explode(grams).alias("ngram"))
+    )
+    cells = cms_build(t2, "ngram", tier="hour")
+    exact = t2.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start"), "ngram"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    probes = exact.where(F.col("cnt") >= 2)
+    est = cms_estimate(
+        cells, probes.select("bucket_start", F.col("ngram").alias("item")),
+        item_col="item",
+    ).withColumnRenamed("item", "ngram")
+    out = probes.join(est, ["bucket_start", "ngram"]).select(
+        "bucket_start", "ngram", "cnt", "est",
+        F.when(F.col("est") >= F.col("cnt"), 1).otherwise(0)
+        .cast("int").alias("ok_lower"),
+    )
+    return finalize(out)
+
+
+def q_theil_sen_trend(spark, sf_dir):
+    """Per-conversation Theil-Sen robust slope + intercept on the value
+    channel (operators/trend.py theil_sen) — magnitude companion to
+    mann_kendall_trend. Pair join is the same conv_id equi-join; the
+    slope multiset is exact-integer ratios, so the median replays
+    bit-identically in the twin."""
+    from ts_raster_spark.operators.trend import theil_sen
+
+    t = load_turns(spark, sf_dir)
+    return finalize(
+        theil_sen(t, value_col="value", entity_cols=("conv_id",),
+                  order_col="turn_idx")
     )
 
 
