@@ -248,6 +248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the estimates bit-replayable (EXACT twin); in-window family
         # siblings mg_top_tools_hour/day (frequency-sketch surface)
         "cms_ngram_counts": Q.q_cms_ngram_counts,
+        # round-5 tail addition: banded interval join over burst
+        # islands — the scale-safe range join (in-window time-join
+        # siblings asof_join / asof_tolerance)
+        "interval_join_bursts": Q.q_interval_join_bursts,
     }
 
 
@@ -1757,4 +1761,35 @@ WHERE text_len = vmin OR text_len = vmax OR e = emin OR e = emax
         # CMS: engine-neutral md5 cell arithmetic — estimates replay
         # bit-for-bit, see _cms_ngram_sql
         "cms_ngram_counts": _cms_ngram_sql(),
+        # interval join: islands over hot hours (integer threshold
+        # comparison, exact both engines), then a DIRECT range join —
+        # the banded equi-join must produce the identical pair set
+        "interval_join_bursts": f"""{TURNS_CTE},
+hourly AS (
+    SELECT date_trunc('hour', ts) AS b, CAST(count(*) AS BIGINT) AS cnt
+    FROM turns GROUP BY 1
+),
+tot AS (SELECT sum(cnt) AS s, CAST(count(*) AS BIGINT) AS n FROM hourly),
+hot AS (
+    SELECT b, cnt FROM hourly, tot WHERE cnt * tot.n >= tot.s
+),
+isl AS (
+    SELECT b, cnt,
+        CAST(epoch(b) / 3600 AS BIGINT) - row_number() OVER (ORDER BY b) AS g
+    FROM hot
+),
+bursts AS (
+    SELECT min(b) AS start, max(b) + INTERVAL 1 HOUR AS "end",
+        CAST(count(*) AS BIGINT) AS n_hours
+    FROM isl GROUP BY g
+)
+SELECT strftime(bu.start, '{TS_FMT}') AS start,
+    strftime(bu."end", '{TS_FMT}') AS "end",
+    bu.n_hours,
+    CAST(count(*) AS BIGINT) AS n_turns,
+    CAST(count(DISTINCT t.conv_id) AS BIGINT) AS n_convs
+FROM bursts bu JOIN turns t
+  ON t.ts >= bu.start AND t.ts < bu."end"
+GROUP BY 1, 2, 3
+""",
     }

@@ -1760,6 +1760,54 @@ def q_mann_kendall_trend(spark, sf_dir):
     )
 
 
+def q_interval_join_bursts(spark, sf_dir):
+    """Banded interval join (operators/intervals.py): burst windows =
+    maximal runs of above-average-traffic hours (gaps-and-islands over
+    the hourly tier), then every turn is joined to its containing
+    burst via the bucket-banding equi-join — never a nested-loop range
+    join. The hot threshold is the integer comparison
+    cnt * n_hours >= total_turns (exact in both engines). Output: one
+    row per burst with its turn/conversation mass; exact twin does the
+    same islands + a direct range join."""
+    from ts_raster_spark.operators.intervals import interval_join
+
+    t = load_turns(spark, sf_dir)
+    hourly = t.groupBy(F.date_trunc("hour", F.col("ts")).alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = hourly.agg(
+        F.sum("cnt").alias("_s"), F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    hot = (
+        hourly.crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * F.col("_n") >= F.col("_s"))
+        .select("b", "cnt")
+    )
+    w = Window.orderBy("b")
+    islands = (
+        hot.withColumn(
+            "_isl",
+            (F.unix_micros(F.col("b").cast("timestamp_ltz")) / 3_600_000_000).cast("long")
+            - F.row_number().over(w),
+        )
+        .groupBy("_isl")
+        .agg(
+            F.min("b").alias("start"),
+            (F.max("b") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+        )
+        .drop("_isl")
+    )
+    joined = interval_join(
+        t.select("conv_id", "ts"), islands, bucket_seconds=3600
+    )
+    out = joined.groupBy("start", "end", "n_hours").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+    return finalize(out)
+
+
 def q_cms_ngram_counts(spark, sf_dir):
     """Count-Min sketch point-frequency estimates (operators/cms.py)
     over per-hour text word-bigrams — the unbounded-cardinality shape
