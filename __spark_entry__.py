@@ -252,6 +252,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # islands — the scale-safe range join (in-window time-join
         # siblings asof_join / asof_tolerance)
         "interval_join_bursts": Q.q_interval_join_bursts,
+        # round-5 tail addition: ordered tool funnel (windowFunnel
+        # semantics) — event-sequence query capability; in-window
+        # siblings top_tools_hour / state_durations (tool surface)
+        "funnel_tools": Q.q_funnel_tools,
     }
 
 
@@ -1791,5 +1795,34 @@ SELECT strftime(bu.start, '{TS_FMT}') AS start,
 FROM bursts bu JOIN turns t
   ON t.ts >= bu.start AND t.ts < bu."end"
 GROUP BY 1, 2, 3
+""",
+        # funnel: min-after recursion per step, exact integer-µs
+        # deltas, exact interpolated medians — exact twin
+        "funnel_tools": f"""{TURNS_CTE},
+s1 AS (
+    SELECT conv_id, min(ts) AS t1 FROM turns WHERE tool = 'search' GROUP BY 1
+),
+s2 AS (
+    SELECT t.conv_id, min(t.ts) AS t2
+    FROM turns t JOIN s1 USING (conv_id)
+    WHERE t.tool = 'code' AND t.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+    SELECT t.conv_id, min(t.ts) AS t3
+    FROM turns t JOIN s2 USING (conv_id)
+    WHERE t.tool = 'browser' AND t.ts > s2.t2 GROUP BY 1
+),
+j AS (
+    SELECT s1.conv_id, s1.t1, s2.t2, s3.t3
+    FROM s1 LEFT JOIN s2 USING (conv_id) LEFT JOIN s3 USING (conv_id)
+)
+SELECT 1 AS step, 'search' AS name, CAST(count(t1) AS BIGINT) AS n_converted,
+    CAST(NULL AS DOUBLE) AS median_secs_from_start FROM j
+UNION ALL
+SELECT 2, 'code', CAST(count(t2) AS BIGINT),
+    {sql_r4('median(epoch_us(t2) - epoch_us(t1)) / 1e6')} FROM j
+UNION ALL
+SELECT 3, 'browser', CAST(count(t3) AS BIGINT),
+    {sql_r4('median(epoch_us(t3) - epoch_us(t1)) / 1e6')} FROM j
 """,
     }

@@ -268,6 +268,47 @@ AUDITS = [
         "window runs over the tiny tier series only (pass entity_cols "
         "to parallelize per entity at scale — operator docstring).",
     ),
+    (
+        "m4_downsample",
+        Q.q_m4_downsample,
+        "M4 (round 5): two stacked Window nodes — the second partitions "
+        "on the FINER (conv_id, bucket) key — zero Python, no "
+        "generator/explode anywhere, output filter is a plain "
+        "Filter over the window columns.",
+    ),
+    (
+        "theil_sen_trend",
+        Q.q_theil_sen_trend,
+        "Theil-Sen (round 5): pair enumeration is a hash EQUI-join on "
+        "conv_id (SortMergeJoin/ShuffledHashJoin, never nested-loop); "
+        "the two percentile aggregates reuse the conv_id shuffle key.",
+    ),
+    (
+        "cms_ngram_counts",
+        Q.q_cms_ngram_counts,
+        "Count-Min (round 5): the d-way explode feeds a partial+final "
+        "HashAggregate pair on (bucket,row,pos) — map-side combine caps "
+        "shuffle rows at d*w per bucket per partition regardless of "
+        "bigram cardinality; probe joins are hash equi-joins.",
+    ),
+    (
+        "interval_join_bursts",
+        Q.q_interval_join_bursts,
+        "Banded interval join (round 5): interval explode on the TINY "
+        "bursts side only; the point-interval match is a hash EQUI-join "
+        "(BroadcastHashJoin here — bursts are small) on the bucket key "
+        "plus refining Filter. The one BroadcastNestedLoopJoin is the "
+        "intended 1-ROW scalar-subquery shape (hot-threshold total), "
+        "not the point-interval path.",
+    ),
+    (
+        "funnel_tools",
+        Q.q_funnel_tools,
+        "Ordered funnel (round 5): every step is a conditional "
+        "min-HashAggregate + equi-join on conv_id — the SAME shuffle "
+        "key throughout (exchange reuse), no window over raw events, "
+        "no nested-loop join, whole-stage codegen end to end.",
+    ),
 ]
 
 

@@ -1760,6 +1760,24 @@ def q_mann_kendall_trend(spark, sf_dir):
     )
 
 
+def q_funnel_tools(spark, sf_dir):
+    """Ordered tool funnel search -> code -> browser per conversation
+    (operators/funnel.py): first-occurrence, strictly-increasing-ts
+    semantics (the windowFunnel contract). k conditional min-aggregates
+    + equi-joins all keyed on conv_id; medians are exact interpolated
+    percentiles of integer-µs deltas, so the twin is exact."""
+    from ts_raster_spark.operators.funnel import funnel_summary, funnel_times
+
+    t = load_turns(spark, sf_dir)
+    steps = [
+        ("search", F.col("tool") == "search"),
+        ("code", F.col("tool") == "code"),
+        ("browser", F.col("tool") == "browser"),
+    ]
+    times = funnel_times(t, steps, entity_cols=("conv_id",))
+    return finalize(funnel_summary(times, [n for n, _ in steps]))
+
+
 def q_interval_join_bursts(spark, sf_dir):
     """Banded interval join (operators/intervals.py): burst windows =
     maximal runs of above-average-traffic hours (gaps-and-islands over
