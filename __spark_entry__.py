@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ts_raster_spark import queries as Q
 from ts_raster_spark.operators.holt import holt_oracle_sql
 from ts_raster_spark.operators.ml_prep import frac_hex
+from ts_raster_spark.operators.projection import projection_sql as _proj_sql
 from ts_raster_spark.sql import duck_docs as DD
 from ts_raster_spark.sql.duck_features import autocorr_sql, feature_select, r, sql_r4, stats_cte
 from ts_raster_spark.sql.oracle_prefix import LONG_CTE, TURNS_CTE
@@ -256,6 +257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantics) — event-sequence query capability; in-window
         # siblings top_tools_hour / state_durations (tool surface)
         "funnel_tools": Q.q_funnel_tools,
+        # round-5 tail addition: JL random projection (bit-exact md5
+        # sign matrix) — embedding-family sibling of in-window
+        # embedding_quantize / ann_signlsh
+        "embedding_project": Q.q_embedding_project,
     }
 
 
@@ -1825,4 +1830,15 @@ UNION ALL
 SELECT 3, 'browser', CAST(count(t3) AS BIGINT),
     {sql_r4('median(epoch_us(t3) - epoch_us(t1)) / 1e6')} FROM j
 """,
+        # JL projection: sign matrix + left-associated sum generated
+        # from the SAME module (operators/projection.py), so the twin
+        # is bit-exact before r4 even applies
+        "embedding_project": (
+            "SELECT vec_id,\n    "
+            + ",\n    ".join(
+                f"{sql_r4(e)} AS p{j}"
+                for j, e in enumerate(_proj_sql("embedding", d=64, k=16))
+            )
+            + "\nFROM embeddings"
+        ),
     }

@@ -309,6 +309,13 @@ AUDITS = [
         "key throughout (exchange reuse), no window over raw events, "
         "no nested-loop join, whole-stage codegen end to end.",
     ),
+    (
+        "embedding_project",
+        Q.q_embedding_project,
+        "JL projection (round 5): ZERO Exchange, zero Generate — the "
+        "d*k multiply-adds fold into the scan Project inside "
+        "WholeStageCodegen; ReadSchema prunes to (vec_id, embedding).",
+    ),
 ]
 
 

@@ -1760,6 +1760,20 @@ def q_mann_kendall_trend(spark, sf_dir):
     )
 
 
+def q_embedding_project(spark, sf_dir):
+    """Deterministic JL ±1 random projection 64 -> 16 of the embedding
+    column (operators/projection.py) — the dimensionality-reduction
+    scale path in front of LSH/IVF. Pure Catalyst scan-speed column
+    arithmetic (no UDF/explode/shuffle); the md5-derived sign matrix
+    and the left-associated sum make the projection BIT-exact
+    cross-engine."""
+    from ts_raster_spark.operators.projection import random_projection
+
+    emb = _emb(spark, sf_dir)
+    out = random_projection(emb, vec_col="embedding", d=64, k=16)
+    return finalize(out.select("vec_id", *[f"p{j}" for j in range(16)]))
+
+
 def q_funnel_tools(spark, sf_dir):
     """Ordered tool funnel search -> code -> browser per conversation
     (operators/funnel.py): first-occurrence, strictly-increasing-ts
