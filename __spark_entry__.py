@@ -78,7 +78,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with >=2 green rows and an in-window family sibling move to
         # the tail (mapping in the tail comment). The local gate
         # (tools/check_correctness.py) still runs the full dict at
-        # three SFs.
+        # three SFs. Late-round swap: six round-5 additions (M4,
+        # Theil-Sen, CMS, interval join, funnel, JL projection) take
+        # the slots of six r4-green veterans so every new operator
+        # family gets a driver row this round (mapping at the demoted
+        # block in the tail).
         # -- veterans kept (flagship / no in-window sibling) --
         "turns_derivation": Q.q_turns_derivation,
         "conv_features_ext": Q.q_conv_features_ext,
@@ -107,16 +111,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_hour": Q.q_hll_users_hour,
         "stream_dedup_exact": Q.q_stream_dedup_exact,
         "moving_stats_time": Q.q_moving_stats_time,
-        "new_convs_hour": Q.q_new_convs_hour,
-        "cohort_retention": Q.q_cohort_retention,
-        "ohlc_hour": Q.q_ohlc_hour,
         "ema_turns": Q.q_ema_turns,
         "lttb_downsample": Q.q_lttb_downsample,
-        "rollup_5min": Q.q_rollup_5min,
-        "top_tools_hour": Q.q_top_tools_hour,
         "asof_tolerance": Q.q_asof_tolerance,
-        "sliding_counts": Q.q_sliding_counts,
         "sliding_counts_hll": Q.q_sliding_counts_hll,
+        # -- round-5 late additions: first driver attestation (slots
+        # freed by demoting six r4-green veterans with in-window
+        # family siblings — mapping in the tail comment) --
+        "m4_downsample": Q.q_m4_downsample,
+        "theil_sen_trend": Q.q_theil_sen_trend,
+        "cms_ngram_counts": Q.q_cms_ngram_counts,
+        "interval_join_bursts": Q.q_interval_join_bursts,
+        "funnel_tools": Q.q_funnel_tools,
+        "embedding_project": Q.q_embedding_project,
         "stream_sliding_counts": Q.q_stream_sliding_counts,
         "stream_session_windows": Q.q_stream_session_windows,
         "anomaly_turns": Q.q_anomaly_turns,
@@ -226,10 +233,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch-tier PSI distribution drift (sibling
         # sketch_quantile_hour — same histogram bins)
         "mann_kendall_trend": Q.q_mann_kendall_trend,
-        # round-5 tail addition: Theil-Sen robust slope — magnitude
-        # companion to mann_kendall_trend (same pair-join shape, exact
-        # median twin)
-        "theil_sen_trend": Q.q_theil_sen_trend,
         "psi_drift_day": Q.q_psi_drift_day,
         # round-5 tail additions: lead-lag cross-correlation (sibling
         # tool_corr_hour) and classical additive decomposition
@@ -240,27 +243,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via DuckDB recursive CTE (sibling ema_turns — same
         # smoothing-family surface)
         "holt_smoothing": Q.q_holt_smoothing,
-        # round-5 tail addition: M4 pixel-exact downsample — the pure
-        # window-SQL sibling of lttb_downsample (in-window family
-        # sibling), with a full EXACT twin (set semantics on ties)
-        "m4_downsample": Q.q_m4_downsample,
-        # round-5 tail addition: Count-Min point-frequency sketch on
-        # high-cardinality bigrams — engine-neutral md5 hashing makes
-        # the estimates bit-replayable (EXACT twin); in-window family
-        # siblings mg_top_tools_hour/day (frequency-sketch surface)
-        "cms_ngram_counts": Q.q_cms_ngram_counts,
-        # round-5 tail addition: banded interval join over burst
-        # islands — the scale-safe range join (in-window time-join
-        # siblings asof_join / asof_tolerance)
-        "interval_join_bursts": Q.q_interval_join_bursts,
-        # round-5 tail addition: ordered tool funnel (windowFunnel
-        # semantics) — event-sequence query capability; in-window
-        # siblings top_tools_hour / state_durations (tool surface)
-        "funnel_tools": Q.q_funnel_tools,
-        # round-5 tail addition: JL random projection (bit-exact md5
-        # sign matrix) — embedding-family sibling of in-window
-        # embedding_quantize / ann_signlsh
-        "embedding_project": Q.q_embedding_project,
+        # -- demoted to the tail for the round-5 late additions: each
+        # is r4-driver-green with an in-window family sibling --
+        # cohort_retention / new_convs_hour -> hll_users_hour (distinct
+        # conv counting); ohlc_hour -> counter_rate_hour /
+        # state_durations / heartbeat_uptime (timeseries algebra);
+        # rollup_5min -> rollup_minute_core / moving_stats_time
+        # (bucketed rollups); top_tools_hour -> mg_top_tools_hour/day;
+        # sliding_counts -> sliding_counts_hll / stream_sliding_counts
+        "cohort_retention": Q.q_cohort_retention,
+        "new_convs_hour": Q.q_new_convs_hour,
+        "ohlc_hour": Q.q_ohlc_hour,
+        "rollup_5min": Q.q_rollup_5min,
+        "top_tools_hour": Q.q_top_tools_hour,
+        "sliding_counts": Q.q_sliding_counts,
     }
 
 

@@ -245,6 +245,43 @@ def run(cpus: int, sf_dir: str, n_synth: int, skip_synth: bool = False, reps: in
             _force(cusum(turns_sf, "value", ("conv_id",), "turn_idx"))
 
         timed("cusum_changepoints_sf", _cusum)
+
+        def _cms():
+            # round-5 sketch family: CMS cell build over per-turn text
+            # bigrams (the d-way explode + one map-side-combined
+            # aggregate; shuffle capped at d*w cells/bucket/partition)
+            from ts_raster_spark.operators.cms import cms_build
+
+            toks = F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+            grams = F.expr(
+                "CASE WHEN size(_toks) >= 2 THEN "
+                "transform(sequence(0, size(_toks)-2), i -> concat(_toks[i], ' ', _toks[i+1])) "
+                "ELSE array() END"
+            )
+            t2 = (
+                turns_sf.withColumn("_toks", toks)
+                .select("ts", F.explode(grams).alias("ngram"))
+            )
+            _force(cms_build(t2, "ngram", tier="hour"))
+
+        timed("cms_build_ngrams_sf", _cms)
+
+        def _m4():
+            # round-5 downsample: pure-window M4 over the text_len series
+            from ts_raster_spark.operators.downsample import m4
+
+            _force(
+                m4(
+                    turns_sf.withColumn("text_len", F.length("text").cast("double")),
+                    width=8,
+                    y_col="text_len",
+                )
+            )
+
+        timed("m4_downsample_sf", _m4)
         if os.path.exists(emb_path):
             emb = spark.read.parquet(emb_path)
             timed("ann_signlsh_sf", lambda: _force(signlsh_topk(emb, list(range(20)), k=3)))
