@@ -21,6 +21,14 @@ ALLOWED_TAIL = {
     # in-window family sibling attesting the surface (queries()
     # docstring maps each to its sibling)
     "rollup_hour_full",
+    # late-round demotions for the six new operator families: each
+    # r4-green with an in-window sibling (mapping in the tail comment)
+    "new_convs_hour",
+    "cohort_retention",
+    "ohlc_hour",
+    "rollup_5min",
+    "top_tools_hour",
+    "sliding_counts",
     "conv_features",
     "asof_join",
     "stratified_sample",
@@ -134,18 +142,21 @@ MUST_BE_IN_WINDOW = {
     "hll_users_hour",
     "stream_dedup_exact",
     "moving_stats_time",
-    "new_convs_hour",
-    "cohort_retention",
-    "ohlc_hour",
     "lttb_downsample",
-    "rollup_5min",
-    "top_tools_hour",
     "asof_tolerance",
-    "sliding_counts",
     "sliding_counts_hll",
     "stream_sliding_counts",
     "stream_session_windows",
     "anomaly_turns",
+    # round-5 late additions: first driver attestation for the six new
+    # operator families (slots freed by demoting six r4-green veterans
+    # with in-window siblings — see the queries() tail comment)
+    "m4_downsample",
+    "theil_sen_trend",
+    "cms_ngram_counts",
+    "interval_join_bursts",
+    "funnel_tools",
+    "embedding_project",
 }
 
 
