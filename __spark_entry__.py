@@ -251,6 +251,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rollup_5min -> rollup_minute_core / moving_stats_time
         # (bucketed rollups); top_tools_hour -> mg_top_tools_hour/day;
         # sliding_counts -> sliding_counts_hll / stream_sliding_counts
+        # round-5 tail addition: CMS day cascade — Spark merges hour
+        # cells upward while the twin builds day cells from raw, so
+        # the value-hash equality proves the merge closure
+        # cross-engine (in-window sibling cms_ngram_counts)
+        "cms_ngram_counts_day": Q.q_cms_ngram_counts_day,
         "cohort_retention": Q.q_cohort_retention,
         "new_convs_hour": Q.q_new_convs_hour,
         "ohlc_hour": Q.q_ohlc_hour,
@@ -260,11 +265,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _cms_ngram_sql(d: int = 4, w: int = 256) -> str:
-    """Twin of queries.q_cms_ngram_counts. Build cells, estimate, and
-    bound flag all replay the SAME md5 integer arithmetic Spark
-    executes (functions/hllsql.py), so the CMS estimates are
-    bit-identical — an ordinary value-hash oracle, not a claim."""
+def _cms_ngram_sql(d: int = 4, w: int = 256, tier: str = "hour",
+                   min_cnt: int = 2) -> str:
+    """Twin of queries.q_cms_ngram_counts{{,_day}}. Build cells,
+    estimate, and bound flag all replay the SAME md5 integer
+    arithmetic Spark executes (functions/hllsql.py), so the CMS
+    estimates are bit-identical — an ordinary value-hash oracle, not a
+    claim.  For the day query the twin builds day cells DIRECTLY while
+    Spark merges hour cells upward: equality == the mergeable-summaries
+    closure, verified cross-engine."""
     from ts_raster_spark.functions import hllsql as H
 
     return f"""{TURNS_CTE},
@@ -278,7 +287,7 @@ ng AS (
         unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS ngram
     FROM toks WHERE len(tk) >= 2
 ),
-hb AS (SELECT date_trunc('hour', ts) AS b, ngram FROM ng),
+hb AS (SELECT date_trunc('{tier}', ts) AS b, ngram FROM ng),
 rows_ AS (SELECT CAST(unnest(range({d})) AS INTEGER) AS row),
 ex AS (
     SELECT hb.b, r.row,
@@ -288,7 +297,7 @@ ex AS (
 cpos AS (SELECT b, row, CAST({H.hash32_expr('h')} % {w} AS INTEGER) AS pos FROM ex),
 cells AS (SELECT b, row, pos, CAST(count(*) AS BIGINT) AS c FROM cpos GROUP BY 1, 2, 3),
 exact AS (SELECT b, ngram, CAST(count(*) AS BIGINT) AS cnt FROM hb GROUP BY 1, 2),
-probes AS (SELECT b, ngram, cnt FROM exact WHERE cnt >= 2),
+probes AS (SELECT b, ngram, cnt FROM exact WHERE cnt >= {min_cnt}),
 pex AS (
     SELECT p.b, p.ngram, p.cnt, r.row,
         {H.md5_expr("p.ngram || '|' || CAST(r.row AS STRING)")} AS h
@@ -1766,6 +1775,9 @@ WHERE text_len = vmin OR text_len = vmax OR e = emin OR e = emax
         # CMS: engine-neutral md5 cell arithmetic — estimates replay
         # bit-for-bit, see _cms_ngram_sql
         "cms_ngram_counts": _cms_ngram_sql(),
+        # day grain: Spark merges hour cells upward, the twin builds
+        # day cells directly — equality IS the merge-closure proof
+        "cms_ngram_counts_day": _cms_ngram_sql(tier="day", min_cnt=3),
         # interval join: islands over hot hours (integer threshold
         # comparison, exact both engines), then a DIRECT range join —
         # the banded equi-join must produce the identical pair set

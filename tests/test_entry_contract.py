@@ -23,6 +23,7 @@ ALLOWED_TAIL = {
     "rollup_hour_full",
     # late-round demotions for the six new operator families: each
     # r4-green with an in-window sibling (mapping in the tail comment)
+    "cms_ngram_counts_day",
     "new_convs_hour",
     "cohort_retention",
     "ohlc_hour",

@@ -1881,6 +1881,45 @@ def q_cms_ngram_counts(spark, sf_dir):
     return finalize(out)
 
 
+def q_cms_ngram_counts_day(spark, sf_dir):
+    """Day-grain CMS double path: HOUR cells merged to day via
+    cell-wise sum (operators/cms.py cms_merge), then estimated. The
+    DuckDB twin builds the day cells DIRECTLY from raw — equality
+    holds iff the mergeable-summaries closure holds, so the oracle
+    cross-engine-verifies the merge itself (the same pattern as the
+    KLL/MG day cascades)."""
+    from ts_raster_spark.operators.cms import cms_build, cms_estimate, cms_merge
+
+    t = load_turns(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    grams = F.expr(
+        "CASE WHEN size(_toks) >= 2 THEN "
+        "transform(sequence(0, size(_toks)-2), i -> concat(_toks[i], ' ', _toks[i+1])) "
+        "ELSE array() END"
+    )
+    t2 = (
+        t.withColumn("_toks", toks)
+        .select("ts", F.explode(grams).alias("ngram"))
+    )
+    cells = cms_merge(cms_build(t2, "ngram", tier="hour"), tier="day")
+    exact = t2.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket_start"), "ngram"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    probes = exact.where(F.col("cnt") >= 3)
+    est = cms_estimate(
+        cells, probes.select("bucket_start", F.col("ngram").alias("item")),
+        item_col="item",
+    ).withColumnRenamed("item", "ngram")
+    out = probes.join(est, ["bucket_start", "ngram"]).select(
+        "bucket_start", "ngram", "cnt", "est",
+        F.when(F.col("est") >= F.col("cnt"), 1).otherwise(0)
+        .cast("int").alias("ok_lower"),
+    )
+    return finalize(out)
+
+
 def q_theil_sen_trend(spark, sf_dir):
     """Per-conversation Theil-Sen robust slope + intercept on the value
     channel (operators/trend.py theil_sen) — magnitude companion to
