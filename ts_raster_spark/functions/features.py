@@ -52,14 +52,20 @@ def attach_group_stats(df: DataFrame, keys: list[str], order_cols=ORDER_COLS, la
     feed :func:`autocorrelation_agg` at those lags; all windows share the
     same partitioning so extra lags add no exchange).
     """
-    wu = Window.partitionBy(*keys)
-    wo = wu.orderBy(*[F.col(c) for c in order_cols])
+    wo = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+    # Whole-partition stats use the SAME (partition, order) spec as the
+    # ordered columns, with an explicit unbounded-unbounded frame: the
+    # aggregate value is identical (whole partition), but every window
+    # here now collapses into ONE Window operator over ONE sort —
+    # round 6; the previous unordered spec forced a second full sort
+    # (sort by keys, then sort by keys+order) on the hot rollup path.
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     out = (
-        df.withColumn(MU, F.avg(V).over(wu))
-        .withColumn(SIG, F.stddev_pop(V).over(wu))
-        .withColumn(VMAX, F.max(V).over(wu))
-        .withColumn(VMIN, F.min(V).over(wu))
-        .withColumn("_nrows", F.count(V).over(wu))
+        df.withColumn(MU, F.avg(V).over(wf))
+        .withColumn(SIG, F.stddev_pop(V).over(wf))
+        .withColumn(VMAX, F.max(V).over(wf))
+        .withColumn(VMIN, F.min(V).over(wf))
+        .withColumn("_nrows", F.count(V).over(wf))
         .withColumn(RN, F.row_number().over(wo))
     )
     for lag in sorted(set(lags) | {1, 2}):

@@ -78,12 +78,16 @@ def attach_ext_stats(df: DataFrame, keys: list[str], order_cols=ORDER_COLS) -> D
     """
     wu = Window.partitionBy(*keys)
     wo = wu.orderBy(*[F.col(c) for c in order_cols])
+    # whole-partition aggregates ride wo's sort via an explicit
+    # unbounded frame instead of a second keys-only sort (round 6; same
+    # one-sort collapse as features.attach_group_stats)
+    wof = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     wabs = wu.orderBy(F.abs(F.col(V)).desc(), *[F.col(c) for c in order_cols])
     wval = Window.partitionBy(*keys, F.col(V))
     wval_o = wval.orderBy(*[F.col(c) for c in order_cols])
     # both corridor bounds from ONE holistic percentile pass (array arg
     # sorts the partition once, not twice)
-    qarr = F.expr(f"percentile({V}, array({CHANGE_QL}, {CHANGE_QH}))").over(wu)
+    qarr = F.expr(f"percentile({V}, array({CHANGE_QL}, {CHANGE_QH}))").over(wof)
     return (
         df.withColumn(VCNT, F.count("*").over(wval))
         # first-occurrence flag: lets every DISTINCT-flavored feature be
@@ -92,7 +96,7 @@ def attach_ext_stats(df: DataFrame, keys: list[str], order_cols=ORDER_COLS) -> D
         # costs an extra exchange and a 3x row expand)
         .withColumn(VRN, F.row_number().over(wval_o))
         .withColumn(CUMABS, F.sum(F.abs(F.col(V))).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn(TOTABS, F.sum(F.abs(F.col(V))).over(wu))
+        .withColumn(TOTABS, F.sum(F.abs(F.col(V))).over(wof))
         .withColumn(RNABS, F.row_number().over(wabs))
         .withColumn("_qarr", qarr)
         .withColumn(QL, F.col("_qarr")[0])

@@ -58,7 +58,15 @@ def cusum(
     series) never alarm and carry all-zero scores.
     """
     ecols = [F.col(c) for c in entity_cols]
-    w_all = Window.partitionBy(*ecols)
+    # whole-partition mu/sigma share the running windows' (partition,
+    # order) spec via an explicit unbounded frame — one Window operator,
+    # one sort, instead of a keys-only sort plus a keys+order sort
+    # (round 6; values are order-independent whole-partition aggregates)
+    w_all = (
+        Window.partitionBy(*ecols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     w_run = (
         Window.partitionBy(*ecols)
         .orderBy(order_col)

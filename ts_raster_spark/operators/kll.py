@@ -138,11 +138,26 @@ def kll_sketch(long_df: DataFrame, tier: str | None, k: int = 64) -> DataFrame:
                 )
         return pd.Series(out)
 
-    return g.select(*out_keys, F.explode(_build("_vals")).alias("_it")).select(
+    # Native fast path (round 6): a group with <= k values IS its own
+    # level-0 sketch — emit it with a pure-Catalyst explode and keep the
+    # Arrow kernel for over-capacity groups only.  At fine tiers almost
+    # every bucket is small, so the Python boundary disappears from the
+    # common case; both branches read the SAME aggregation (the exchange
+    # is reused), and the output multiset is identical to running the
+    # kernel on everything (the kernel's <= k branch is the same relabel).
+    small = (
+        g.where(F.size("_vals") <= k)
+        .select(*out_keys, F.explode("_vals").alias("value"))
+        .select(*out_keys, F.lit(0).cast("int").alias("level"), F.col("value").cast("double").alias("value"))
+    )
+    big = g.where(F.size("_vals") > k).select(
+        *out_keys, F.explode(_build("_vals")).alias("_it")
+    ).select(
         *out_keys,
         F.col("_it.level").cast("int").alias("level"),
         F.col("_it.value").cast("double").alias("value"),
     )
+    return small.unionByName(big)
 
 
 def kll_merge(sketch: DataFrame, coarser_tier: str, k: int = 64) -> DataFrame:
@@ -191,11 +206,26 @@ def kll_merge(sketch: DataFrame, coarser_tier: str, k: int = 64) -> DataFrame:
             )
         return pd.Series(out)
 
-    return g.select(*keys, F.explode(_merge("_its")).alias("_it")).select(
+    # Native fast path (round 6): <= k total items implies every level is
+    # within capacity, so the merged sketch is the concatenation itself —
+    # pure-Catalyst explode, no Python.  Only bigger groups (which may
+    # still pass through unchanged if no single level overflows) hit the
+    # Arrow kernel; both branches reuse the one aggregation exchange.
+    small = g.where(F.size("_its") <= k).select(
+        *keys, F.explode("_its").alias("_it")
+    ).select(
         *keys,
         F.col("_it.level").cast("int").alias("level"),
         F.col("_it.value").cast("double").alias("value"),
     )
+    big = g.where(F.size("_its") > k).select(
+        *keys, F.explode(_merge("_its")).alias("_it")
+    ).select(
+        *keys,
+        F.col("_it.level").cast("int").alias("level"),
+        F.col("_it.value").cast("double").alias("value"),
+    )
+    return small.unionByName(big)
 
 
 def kll_quantiles(
@@ -214,7 +244,13 @@ def kll_quantiles(
     w_cum = Window.partitionBy(*keys).orderBy("value", "level").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_all = Window.partitionBy(*keys)
+    # total weight rides the cumulative window's sort (explicit unbounded
+    # frame, same (partition, order) spec -> one Window operator, one
+    # sort); the sum of 2^level weights is exact integer arithmetic in
+    # double, so the value is order-independent (round 6)
+    w_all = Window.partitionBy(*keys).orderBy("value", "level").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     d = (
         sketch.withColumn("_w", wgt)
         .withColumn("_cum", F.sum("_w").over(w_cum))
