@@ -109,15 +109,25 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 8, band_size: int = 2) -> DataFr
     band bucket. Output distinct (doc_a, doc_b), doc_a < doc_b."""
     sig = minhash_signatures(docs, k)
     n_bands = k // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            sig.select("doc_id", F.md5(F.concat_ws("|", *cols)).alias("band_key"), F.lit(b).alias("band"))
-        )
-    all_bands = bands[0]
-    for x in bands[1:]:
-        all_bands = all_bands.unionByName(x)
+    # one generator explode instead of an n_bands-way union of selects:
+    # the union shape re-planned (and re-executed the final aggregation
+    # of) the signature subtree once per band — round 6
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    all_bands = sig.select("doc_id", F.explode(band_structs).alias("_b")).select(
+        "doc_id", F.col("_b.band_key").alias("band_key"), F.col("_b.band").alias("band")
+    )
     a = all_bands.alias("a")
     b_ = all_bands.alias("b")
     return (
@@ -199,11 +209,15 @@ def _large_star(e: DataFrame) -> DataFrame:
     edge list (u, v); output edges always point child → smaller parent."""
     both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = both.groupBy("u").agg(F.min("v").alias("_mn"))
+    # no .distinct() here (round 6): the consumer is _small_star, whose
+    # min-aggregation is duplicate-insensitive and whose own terminal
+    # .distinct() dedupes the round output — the intermediate dedup was
+    # one avoidable exchange per round (duplicate multiplicity within a
+    # round is bounded by node degree)
     return (
         both.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.least(F.col("_mn"), F.col("u")).alias("v"))
-        .distinct()
     )
 
 

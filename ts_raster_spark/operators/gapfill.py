@@ -35,20 +35,44 @@ def scaffold(points: DataFrame, tier: str, value_col: str = "value") -> DataFram
     Input: rollup points ``(conv_id, kind, bucket_start, <value_col>)``.
     Output: one row per grid bucket with ``<value_col>`` null where no
     observation landed (plus ``_observed`` flag).
+
+    Shape (round 6): each observed point emits itself plus every missing
+    bucket since the previous observed point (lag window + sequence
+    explode) — ONE exchange on (conv_id, kind) and zero joins.  The
+    previous spans-groupBy + dense-grid LEFT JOIN shape planned the
+    ``points`` subtree twice (spans branch + join branch) and shuffled
+    three times; the output row multiset is identical: consecutive-pair
+    gap generation covers exactly the min..max span, observed buckets
+    keep their row (non-key columns null on gap rows, ``_observed``
+    false there and for observed-but-null values, as before).
     """
     step = _SECONDS[tier]
-    spans = points.groupBy("conv_id", "kind").agg(
-        F.min("bucket_start").alias("_b0"), F.max("bucket_start").alias("_b1")
+    w = Window.partitionBy("conv_id", "kind").orderBy("bucket_start")
+    other = [c for c in points.columns if c not in ("conv_id", "kind", "bucket_start")]
+    prev = F.lag("bucket_start").over(w)
+    # duplicate-bucket guard: a row whose predecessor holds the same
+    # bucket emits only itself (start == stop), like the old join shape
+    start = F.when(
+        F.col("_prev") < F.col("bucket_start"),
+        F.col("_prev") + F.expr(f"INTERVAL {step} SECONDS"),
+    ).otherwise(F.col("bucket_start"))
+    d = (
+        points.withColumn("_prev", prev)
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(start, F.col("bucket_start"), F.expr(f"INTERVAL {step} SECONDS"))
+            ),
+        )
     )
-    grid = spans.select(
+    is_obs_row = F.col("_b") == F.col("bucket_start")
+    return d.select(
         "conv_id",
         "kind",
-        F.explode(
-            F.sequence("_b0", "_b1", F.expr(f"INTERVAL {step} SECONDS"))
-        ).alias("bucket_start"),
+        F.col("_b").alias("bucket_start"),
+        *[F.when(is_obs_row, F.col(c)).alias(c) for c in other],
+        (is_obs_row & F.col(value_col).isNotNull()).alias("_observed"),
     )
-    joined = grid.join(points, ["conv_id", "kind", "bucket_start"], "left")
-    return joined.withColumn("_observed", F.col(value_col).isNotNull())
 
 
 def fill_locf(dense: DataFrame, value_col: str = "value") -> DataFrame:

@@ -82,10 +82,6 @@ def hll_distinct_over_tiers(
     exact = turns.select(coarse_b, entity).groupBy("bucket_start").agg(
         F.countDistinct(entity).cast("long").alias("n_exact")
     )
-    direct = hll_estimate(
-        hll_registers(turns.select(coarse_b, entity), entity, ["bucket_start"]),
-        ["bucket_start"],
-    )
     fine_regs = hll_registers(
         turns.select(
             F.date_trunc(fine, F.col("ts")).alias("fine_bucket"),
@@ -95,7 +91,13 @@ def hll_distinct_over_tiers(
         entity,
         ["fine_bucket", "bucket_start"],
     )
-    merged = hll_estimate(
-        hll_merge(fine_regs, ["bucket_start"]), ["bucket_start"], out_col="hll_from_fine"
-    )
+    # The direct coarse register table IS the max-merge of the fine one
+    # (max over (fine, coarse, bucket) then over coarse == max over
+    # coarse — associativity), so one md5/register pass serves both
+    # columns (round 6; previously direct re-scanned raw and re-hashed).
+    # The DuckDB twin still computes the register math independently, so
+    # the cross-engine attestation is unchanged.
+    coarse_regs = hll_merge(fine_regs, ["bucket_start"])
+    direct = hll_estimate(coarse_regs, ["bucket_start"])
+    merged = hll_estimate(coarse_regs, ["bucket_start"], out_col="hll_from_fine")
     return exact.join(direct, "bucket_start").join(merged, "bucket_start")
