@@ -43,19 +43,40 @@ D = 4        # hash rows: failure probability e^-4 ~ 1.8%
 W = 256      # counters per row: eps = e/256 ~ 1.1% of bucket mass
 
 
+def _pos_expr(md5_col: str, w: int) -> str:
+    """``hash32 % w`` reading only the md5 nibbles that can influence it.
+
+    When ``w`` is a power of two (the default 256), ``x % w`` depends
+    only on the low ``log2(w)`` bits of x, i.e. the LAST
+    ``ceil(log2(w)/4)`` of the 8 hex nibbles — for w=256 that is 2
+    nibble parses per row instead of 8 (round 6; the value is identical
+    because 16^k divides the dropped terms).  Non-power-of-two widths
+    fall back to the full 32-bit unpacking.
+    """
+    if w > 1 and (w & (w - 1)) == 0 and w <= (1 << 32):
+        n_bits = w.bit_length() - 1
+        n_nibs = max(1, -(-n_bits // 4))  # ceil(n_bits / 4)
+        terms = [
+            f"(CAST(instr('0123456789abcdef', substr({md5_col}, {8 - i}, 1)) - 1 AS BIGINT)"
+            f" * {16 ** i})"
+            for i in range(n_nibs)
+        ]
+        return f"(({' + '.join(terms)}) % {w})"
+    return f"({hash32_expr(md5_col)} % {w})"
+
+
 def _with_pos(df: DataFrame, item_sql: str, d: int, w: int) -> DataFrame:
     """Explode d hash rows and attach the (row, pos) cell coordinates.
 
-    The md5 is materialized ONCE per (item, row) before the 8-nibble
-    integer unpacking reads it (hash32_expr reads its argument eight
-    times).
+    The md5 is materialized ONCE per (item, row) before the nibble
+    unpacking reads it (``_pos_expr`` reads 2-8 nibbles).
     """
     return (
         df.select("*", F.explode(F.array([F.lit(i) for i in range(d)])).alias("row"))
         .withColumn(
             "_h", F.expr(md5_expr(f"concat({item_sql}, '|', CAST(row AS STRING))"))
         )
-        .withColumn("pos", F.expr(f"CAST({hash32_expr('_h')} % {w} AS INTEGER)"))
+        .withColumn("pos", F.expr(f"CAST({_pos_expr('_h', w)} AS INTEGER)"))
         .drop("_h")
     )
 

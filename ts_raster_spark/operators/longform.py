@@ -94,6 +94,11 @@ def with_channels(
             (F.col("turn_idx") + 1).alias("turn_idx"),
             F.col("_epoch").alias("_prev_epoch"),
         )
+        # shuffled-hash beats sort-merge here (round 6, guide §3.1): the
+        # build side is this 3-column frame (~30 B/row), bounded per
+        # partition by the AQE advisory size, and the hash build skips
+        # both SMJ sorts; AQE skew-join splitting applies to SHJ too.
+        prev = prev.hint("shuffle_hash")
         out = narrow.join(prev, ["conv_id", "turn_idx"], "left").withColumn(
             "latency_s", F.col("_epoch") - F.col("_prev_epoch")
         )
