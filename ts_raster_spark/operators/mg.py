@@ -92,25 +92,30 @@ def _reduce_sql(counts: DataFrame, group_keys: list[str], k: int, carried_err=No
             "_err",
             F.max(F.when(F.col("_rn") == k + 1, F.col("weight")).otherwise(F.lit(0))).over(w_all),
         )
-        .withColumn("_keep", (F.col("_rn") <= k) & (F.col("weight") - F.col("_err") > 0))
+        # coalesce: a NULL-item carrier row (sentinel-only merge group,
+        # weight NULL) must count as not-kept, not poison _n_keep
+        .withColumn(
+            "_keep",
+            F.coalesce((F.col("_rn") <= k) & (F.col("weight") - F.col("_err") > 0), F.lit(False)),
+        )
         .withColumn("_n_keep", F.sum(F.col("_keep").cast("int")).over(w_all))
     )
-    survivors = d.where(F.col("_keep")).select(
+    # Single pass (round 6): survivors and the per-group sentinel are
+    # DISJOINT row sets of the same windowed frame (_keep true implies
+    # _n_keep >= 1), so one filter + conditional projection replaces the
+    # union that planned (and executed) the window subtree twice.  Rows
+    # with a NULL item/weight (a merge group whose finer sketches were
+    # all sentinels) flow through as their group's sentinel, which lets
+    # _finish_merge feed the full errs-LEFT-JOIN-summed frame in one go.
+    is_sent = (F.col("_rn") == 1) & (F.col("_n_keep") == 0)
+    return d.where(F.col("_keep") | is_sent).select(
         *group_keys,
-        "item",
-        (F.col("weight") - F.col("_err")).cast("long").alias("weight"),
+        F.when(F.col("_keep"), F.col("item")).alias("item"),
+        F.coalesce(
+            F.when(F.col("_keep"), F.col("weight") - F.col("_err")), F.lit(0)
+        ).cast("long").alias("weight"),
         (F.col("_err") + carried).cast("long").alias("err"),
     )
-    sentinels = (
-        d.where((F.col("_rn") == 1) & (F.col("_n_keep") == 0))
-        .select(
-            *group_keys,
-            F.lit(None).cast("string").alias("item"),
-            F.lit(0).cast("long").alias("weight"),
-            (F.col("_err") + carried).cast("long").alias("err"),
-        )
-    )
-    return survivors.unionByName(sentinels)
 
 
 def mg_sketch(
@@ -171,19 +176,12 @@ def _finish_merge(joined: DataFrame, group_keys: list[str], k: int) -> DataFrame
     onto per-group carried error.  Applies the closed-form reduction with
     the carried error and re-emits sentinel rows for groups whose inputs
     were all sentinels, so the err bound survives any merge topology."""
-    reduced = _reduce_sql(
-        joined.where(F.col("item").isNotNull()), group_keys, k, carried_err="_err_in"
-    )
-    # groups with no real items at all: emit the carried-err sentinel
-    only_sent = joined.groupBy(*group_keys, "_err_in").agg(
-        F.max(F.col("item").isNotNull().cast("int")).alias("_has_real")
-    ).where(F.col("_has_real") == 0).select(
-        *group_keys,
-        F.lit(None).cast("string").alias("item"),
-        F.lit(0).cast("long").alias("weight"),
-        F.col("_err_in").cast("long").alias("err"),
-    )
-    return reduced.unionByName(only_sent)
+    # one pass (round 6): _reduce_sql now carries a NULL-item row (the
+    # groups whose inputs were all sentinels — exactly the rows the LEFT
+    # join left unmatched) through as the group's sentinel, so the
+    # separate has-real-items aggregation + union over a second scan of
+    # ``joined`` is gone
+    return _reduce_sql(joined, group_keys, k, carried_err="_err_in")
 
 
 def _compact_counters(d: dict, cap: int) -> tuple[dict, int]:

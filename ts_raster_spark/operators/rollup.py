@@ -94,28 +94,60 @@ def rollup_features(
         df = FT.attach_entropy_cols(df, keys, bins=10)
         aggs.update(FT.entropy_agg(bins=10))
 
-    # Percentile fusion: median + the 4 quantiles each sort the group's
-    # values; one percentile(value, array(...)) sorts ONCE and returns
-    # all five. ~5x less sort work in the 29-aggregate rollup.
+    # Exact quantiles via a value-ordered rank window + plain sums
+    # (round 6).  The holistic percentile() aggregate is a
+    # TypedImperativeAggregate: its presence demotes the WHOLE rollup
+    # aggregation (40+ functions) from whole-stage-codegen HashAggregate
+    # to interpreted ObjectHashAggregate, and it buffers a per-group
+    # value->count map (an OOM hazard on mega-groups).  Instead: rank
+    # each row among its group's non-null values (one extra sort on the
+    # shared rollup-key exchange — no new shuffle), then each quantile
+    # is two conditional SUMs replicating Spark Percentile's exact
+    # interpolation arithmetic: pos = q*(n-1) 0-based, lower=floor,
+    # higher=ceil, result = lowerVal*(higher-pos) + higherVal*(pos-lower)
+    # (single-row value when higher==lower) — bit-identical to the
+    # previous percentile(value, array(...)) output.
     q_names = ["quantile_q05", "quantile_q15", "median", "quantile_q85", "quantile_q95"]
+    qs = {"quantile_q05": 0.05, "quantile_q15": 0.15, "median": 0.5,
+          "quantile_q85": 0.85, "quantile_q95": 0.95}
     fused = [n for n in q_names if n in aggs]
-    post: list[tuple[str, F.Column]] = []
-    if len(fused) > 1:
-        qs = {"quantile_q05": 0.05, "quantile_q15": 0.15, "median": 0.5,
-              "quantile_q85": 0.85, "quantile_q95": 0.95}
-        arr = ", ".join(str(qs[n]) for n in fused)
-        for n in fused:
-            del aggs[n]
-        aggs["_qarr"] = F.expr(f"percentile(value, array({arr}))")
-        for i, n in enumerate(fused):
-            post.append((n, F.col("_qarr")[i]))
+    if fused:
+        from pyspark.sql.window import Window
 
-    wide = df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
-    for n, c in post:
-        wide = wide.withColumn(n, c)
-    if post:
-        wide = wide.drop("_qarr")
-    return wide
+        w_v = Window.partitionBy(*keys).orderBy(F.col("value").asc())
+        # rank among non-null values (count() skips nulls, so a null row
+        # shares its predecessor's count and its null value contributes
+        # nothing to the conditional sums below)
+        df = df.withColumn(
+            "_rnv",
+            F.count("value").over(w_v.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        ).withColumn(
+            "_nv",
+            F.count("value").over(
+                w_v.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+        v = F.col("value")
+        for n in fused:
+            q = qs[n]
+            pos = F.lit(float(q)) * (F.col("_nv") - F.lit(1)).cast("double")
+            lower = F.floor(pos)
+            higher = F.ceil(pos)
+            term_low = F.sum(
+                F.when(
+                    F.col("_rnv") == lower + 1,
+                    F.when(higher == lower, v).otherwise(v * (higher.cast("double") - pos)),
+                )
+            )
+            term_high = F.sum(
+                F.when(
+                    (F.col("_rnv") == higher + 1) & (higher > lower),
+                    v * (pos - lower.cast("double")),
+                )
+            )
+            aggs[n] = term_low + F.coalesce(term_high, F.lit(0.0))
+
+    return df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
 
 
 def rollup_simple_wide(turns: DataFrame, tier: str, channels: tuple[str, ...] | None = None) -> DataFrame:
