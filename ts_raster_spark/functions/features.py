@@ -451,19 +451,33 @@ def agg_linear_trend_slope(
 # measured ~6x on the whole-series conv_features extraction)
 
 def attach_strike_cols(df: DataFrame, keys: list[str], order_cols=ORDER_COLS) -> DataFrame:
-    """Per-row island run length for the above/below-mean flags
-    (gaps-and-islands entirely in window space). Requires
-    ``attach_group_stats`` (MU, RN)."""
+    """Per-row running strike length for the above/below-mean flags.
+
+    Round 6: the run length ending at row t is ``RN(t) - RN(last break
+    at or before t)`` (break = any row whose flag is not 1), a running
+    max on the SAME (keys, order_cols) window spec every other helper
+    uses — so both flags fuse into the one existing Window operator and
+    sort.  The previous gaps-and-islands shape needed four extra window
+    specs ((keys, flag) row_number and (keys, flag, island) count per
+    flag), each with its own full sort.  ``strike_aggs``'s
+    max-over-flag-rows is unchanged: the maximum running length over an
+    island equals the island length.  Requires ``attach_group_stats``
+    (MU, RN)."""
+    wo_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     out = df
     for suffix, above in (("a", True), ("b", False)):
         flag = (F.col(V) > F.col(MU)) if above else (F.col(V) < F.col(MU))
         out = out.withColumn(f"_flg{suffix}", flag.cast("int"))
-        w_flag = Window.partitionBy(*keys, F.col(f"_flg{suffix}")).orderBy(
-            *[F.col(c) for c in order_cols]
+        last_break = F.max(
+            F.when(F.coalesce(F.col(f"_flg{suffix}"), F.lit(0)) == 0, F.col(RN))
+        ).over(wo_cum)
+        out = out.withColumn(
+            f"_run{suffix}", F.col(RN) - F.coalesce(last_break, F.lit(0))
         )
-        out = out.withColumn(f"_isl{suffix}", F.col(RN) - F.row_number().over(w_flag))
-        w_run = Window.partitionBy(*keys, F.col(f"_flg{suffix}"), F.col(f"_isl{suffix}"))
-        out = out.withColumn(f"_run{suffix}", F.count("*").over(w_run))
     return out
 
 
@@ -479,32 +493,51 @@ def strike_aggs() -> dict[str, Column]:
 
 
 def attach_entropy_cols(df: DataFrame, keys: list[str], bins: int = 10) -> DataFrame:
-    """Equal-width histogram bin id + per-bin count as row columns.
+    """Equal-width histogram bin id as a row column (pure projection —
+    round 6 dropped the per-(keys, bin) count window and its full sort;
+    ``entropy_agg`` now folds the fixed-width histogram with ``bins``
+    conditional sums in the main codegen aggregate instead).
     Requires ``attach_group_stats`` (VMAX/VMIN/_nrows)."""
     width = (F.col(VMAX) - F.col(VMIN)) / bins
     bin_id = F.when(
         F.col(VMAX) > F.col(VMIN),
         F.least(F.floor((F.col(V) - F.col(VMIN)) / width), F.lit(bins - 1)),
     ).otherwise(F.lit(0))
-    out = df.withColumn("_bin", bin_id)
-    return out.withColumn("_binc", F.count("*").over(Window.partitionBy(*keys, F.col("_bin"))))
+    return df.withColumn("_bin", bin_id)
 
 
 def entropy_agg(bins: int = 10) -> dict[str, Column]:
-    """Shannon entropy of the histogram as ONE aggregate: each row
-    contributes p·ln(p)/c so its bin's term totals p·ln(p) exactly once
-    (p = c/n from the window columns)."""
-    p = F.col("_binc").cast("double") / F.col("_nrows")
-    term = p * F.log(p) / F.col("_binc")
-    return {f"binned_entropy_{bins}": -F.sum(term)}
+    """Shannon entropy of the histogram from ``bins`` conditional count
+    sums (p_b = c_b / n, term −p_b·ln(p_b) per non-empty bin) — plain
+    codegen aggregates, no per-bin window."""
+    n = F.max(F.col("_nrows")).cast("double")
+    terms = None
+    for b in range(bins):
+        c_b = F.sum(F.when(F.col("_bin") == b, F.lit(1.0)))
+        p_b = c_b / n
+        t = F.coalesce(p_b * F.log(p_b), F.lit(0.0))
+        terms = t if terms is None else terms + t
+    return {f"binned_entropy_{bins}": -terms}
 
 
-def attach_trend_cols(df: DataFrame, keys: list[str], chunk_len: int = 3) -> DataFrame:
+def attach_trend_cols(df: DataFrame, keys: list[str], chunk_len: int = 3, order_cols=ORDER_COLS) -> DataFrame:
     """Chunk id, chunk aggregate (max) and first-of-chunk flag as row
-    columns. Requires ``attach_group_stats`` (RN)."""
+    columns. Requires ``attach_group_stats`` (RN).
+
+    Round 6: a chunk's rows are consecutive in the (keys, order_cols)
+    sort, so the chunk max seen from its FIRST row is a forward row
+    frame (0 .. chunk_len-1) on the ordered spec every other helper
+    already uses — no per-(keys, chunk) window partition, no extra
+    sort.  Non-first rows get the max of the wrong frame, which is fine:
+    ``trend_agg`` only reads ``_chunk_agg`` where ``_chunk_first``."""
+    wo_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.currentRow, chunk_len - 1)
+    )
     chunk = F.floor((F.col(RN) - 1) / chunk_len)
     out = df.withColumn("_chunk", chunk.cast("long"))
-    out = out.withColumn("_chunk_agg", F.max(V).over(Window.partitionBy(*keys, F.col("_chunk"))))
+    out = out.withColumn("_chunk_agg", F.max(V).over(wo_fwd))
     return out.withColumn("_chunk_first", ((F.col(RN) - 1) % chunk_len == 0).cast("int"))
 
 
