@@ -229,6 +229,12 @@ def test_boundary_contract_scale_relative(spark):
     pdf = pd.DataFrame(rows, columns=["g", "value"])
     df = spark.createDataFrame(pdf)
 
+    # round 6: symmetry's median is a rank-sum aggregate — attach the
+    # value-rank helper columns it reads (rollup_ext_features does this
+    # via attach_ext_stats)
+    from ts_raster_spark.functions.features import attach_value_rank
+
+    df = attach_value_rank(df, ["g"])
     aggs = dict(large_standard_deviation_aggs())
     aggs.update(symmetry_looking_agg())
     got = (

@@ -98,6 +98,65 @@ def _n() -> Column:
     return F.count(F.col(V))
 
 
+RNV, NV = "_rnv", "_nv"
+
+
+def attach_value_rank(df: DataFrame, keys: list[str], v: str = V) -> DataFrame:
+    """Attach ``_rnv`` (rank among the group's non-null values in
+    ascending value order) and ``_nv`` (non-null count) — the helper
+    columns behind the exact rank-sum quantiles (round 6).  count()
+    skips nulls, so a null row shares its predecessor's rank and its
+    null value contributes nothing to the conditional sums."""
+    w_v = Window.partitionBy(*keys).orderBy(F.col(v).asc())
+    return df.withColumn(
+        RNV, F.count(v).over(w_v.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ).withColumn(
+        NV, F.count(v).over(w_v.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+
+
+def _rank_quantile_terms(q: float, v: Column) -> tuple[Column, Column]:
+    """The two conditional per-row terms whose group-sums reproduce
+    Spark Percentile's interpolation arithmetic exactly: pos = q*(n-1)
+    0-based, lower = floor(pos), higher = ceil(pos), result =
+    lowerVal*(higher-pos) + higherVal*(pos-lower), single-row value
+    when higher == lower.  Requires :func:`attach_value_rank`."""
+    pos = F.lit(float(q)) * (F.col(NV) - F.lit(1)).cast("double")
+    lower = F.floor(pos)
+    higher = F.ceil(pos)
+    term_low = F.when(
+        F.col(RNV) == lower + 1,
+        F.when(higher == lower, v).otherwise(v * (higher.cast("double") - pos)),
+    )
+    term_high = F.when(
+        (F.col(RNV) == higher + 1) & (higher > lower), v * (pos - lower.cast("double"))
+    )
+    return term_low, term_high
+
+
+def rank_quantile_agg(q: float, v: Column | None = None) -> Column:
+    """Exact quantile as two codegen-able conditional SUM aggregates —
+    the replacement for the holistic percentile() aggregate, which
+    demotes every co-grouped aggregate to interpreted
+    ObjectHashAggregate and buffers per-group value maps.  Bit-identical
+    to ``percentile(v, q)``.  Requires :func:`attach_value_rank`."""
+    term_low, term_high = _rank_quantile_terms(q, v if v is not None else F.col(V))
+    return F.sum(term_low) + F.coalesce(F.sum(term_high), F.lit(0.0))
+
+
+def rank_quantile_window(q: float, keys: list[str], v: str = V) -> Column:
+    """Per-row group-quantile column (window form of
+    :func:`rank_quantile_agg`), riding the same ascending-value sort as
+    :func:`attach_value_rank`."""
+    wvf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(v).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    term_low, term_high = _rank_quantile_terms(q, F.col(v))
+    return F.sum(term_low).over(wvf) + F.coalesce(F.sum(term_high).over(wvf), F.lit(0.0))
+
+
 def core_aggs() -> dict[str, Column]:
     """Closed-form aggregates needing no helper columns."""
     v = F.col(V)

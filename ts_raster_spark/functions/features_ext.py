@@ -76,6 +76,8 @@ def attach_ext_stats(df: DataFrame, keys: list[str], order_cols=ORDER_COLS) -> D
     All four window specs partition on supersets of ``keys`` (or keys
     itself with a different ORDER), so they reuse the one hash exchange.
     """
+    from ts_raster_spark.functions.features import attach_value_rank, rank_quantile_window
+
     wu = Window.partitionBy(*keys)
     wo = wu.orderBy(*[F.col(c) for c in order_cols])
     # whole-partition aggregates ride wo's sort via an explicit
@@ -85,23 +87,31 @@ def attach_ext_stats(df: DataFrame, keys: list[str], order_cols=ORDER_COLS) -> D
     wabs = wu.orderBy(F.abs(F.col(V)).desc(), *[F.col(c) for c in order_cols])
     wval = Window.partitionBy(*keys, F.col(V))
     wval_o = wval.orderBy(*[F.col(c) for c in order_cols])
-    # both corridor bounds from ONE holistic percentile pass (array arg
-    # sorts the partition once, not twice)
-    qarr = F.expr(f"percentile({V}, array({CHANGE_QL}, {CHANGE_QH}))").over(wof)
-    return (
-        df.withColumn(VCNT, F.count("*").over(wval))
+    # Window specs are attached GROUPED BY SORT ORDER (round 6) so each
+    # distinct (partition, order) pair sorts once and every compatible
+    # spec rides it: first the wo family (rides attach_group_stats'
+    # sort), then the ascending-value family ((keys, V, order) sort —
+    # wval_o, then wval and the value-rank/corridor columns whose
+    # required (keys, V) prefix it satisfies), then the |x|-descending
+    # sort.  The corridor bounds come from the exact rank-sum windows
+    # (bit-identical to the previous percentile(array(...)) window,
+    # which as a TypedImperativeAggregate buffered a per-group value
+    # map and forced its own pass).
+    out = (
+        df.withColumn(CUMABS, F.sum(F.abs(F.col(V))).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn(TOTABS, F.sum(F.abs(F.col(V))).over(wof))
         # first-occurrence flag: lets every DISTINCT-flavored feature be
         # a plain sum (sum(_vrn = 1) == count(DISTINCT value)), keeping
         # Spark off the expand/gid distinct-aggregate rewrite (which
         # costs an extra exchange and a 3x row expand)
         .withColumn(VRN, F.row_number().over(wval_o))
-        .withColumn(CUMABS, F.sum(F.abs(F.col(V))).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn(TOTABS, F.sum(F.abs(F.col(V))).over(wof))
+        .withColumn(VCNT, F.count("*").over(wval))
+    )
+    out = attach_value_rank(out, keys)
+    return (
+        out.withColumn(QL, rank_quantile_window(CHANGE_QL, keys))
+        .withColumn(QH, rank_quantile_window(CHANGE_QH, keys))
         .withColumn(RNABS, F.row_number().over(wabs))
-        .withColumn("_qarr", qarr)
-        .withColumn(QL, F.col("_qarr")[0])
-        .withColumn(QH, F.col("_qarr")[1])
-        .drop("_qarr")
     )
 
 
@@ -158,9 +168,11 @@ def symmetry_looking_agg(r: float = 0.25) -> dict[str, Column]:
     quantized-difference boundary contract as large_standard_deviation
     (strict comparisons on exactly-equal sides must not split across
     engines' aggregation dust, at any value magnitude)."""
+    from ts_raster_spark.functions.features import rank_quantile_agg
+
     name = f"symmetry_looking_r{str(r).replace('0.', '')}"
     bound = F.lit(float(r)) * (F.max(V) - F.min(V))
-    dev = F.abs(F.avg(F.col(V)) - F.expr(f"percentile({V}, 0.5)"))
+    dev = F.abs(F.avg(F.col(V)) - rank_quantile_agg(0.5))
     scale = F.greatest(bound, dev)
     return {
         name: (
@@ -284,8 +296,10 @@ def linear_trend_aggs() -> dict[str, Column]:
 
 
 def quantile_ext_aggs(qs=(0.25, 0.75)) -> dict[str, Column]:
+    from ts_raster_spark.functions.features import rank_quantile_agg
+
     return {
-        f"quantile_q{str(q).replace('0.', '')}": F.expr(f"percentile({V}, {q})") for q in qs
+        f"quantile_q{str(q).replace('0.', '')}": rank_quantile_agg(q) for q in qs
     }
 
 

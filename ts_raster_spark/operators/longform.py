@@ -94,11 +94,14 @@ def with_channels(
             (F.col("turn_idx") + 1).alias("turn_idx"),
             F.col("_epoch").alias("_prev_epoch"),
         )
-        # shuffled-hash beats sort-merge here (round 6, guide §3.1): the
-        # build side is this 3-column frame (~30 B/row), bounded per
-        # partition by the AQE advisory size, and the hash build skips
-        # both SMJ sorts; AQE skew-join splitting applies to SHJ too.
-        prev = prev.hint("shuffle_hash")
+        # Join strategy (round 6): no hint — small inputs auto-broadcast
+        # the 3-column prev frame (no shuffle at all), and for large
+        # inputs AQE's maxShuffledHashJoinLocalMapThreshold (session.py)
+        # rewrites the planned sort-merge to shuffled-hash at runtime,
+        # skipping both SMJ sorts while keeping the per-partition build
+        # bounded.  A hard shuffle_hash hint here measured faster only
+        # on the biggest input and overrode the broadcast choice
+        # everywhere else.
         out = narrow.join(prev, ["conv_id", "turn_idx"], "left").withColumn(
             "latency_s", F.col("_epoch") - F.col("_prev_epoch")
         )

@@ -112,40 +112,9 @@ def rollup_features(
           "quantile_q85": 0.85, "quantile_q95": 0.95}
     fused = [n for n in q_names if n in aggs]
     if fused:
-        from pyspark.sql.window import Window
-
-        w_v = Window.partitionBy(*keys).orderBy(F.col("value").asc())
-        # rank among non-null values (count() skips nulls, so a null row
-        # shares its predecessor's count and its null value contributes
-        # nothing to the conditional sums below)
-        df = df.withColumn(
-            "_rnv",
-            F.count("value").over(w_v.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        ).withColumn(
-            "_nv",
-            F.count("value").over(
-                w_v.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-            ),
-        )
-        v = F.col("value")
+        df = FT.attach_value_rank(df, keys)
         for n in fused:
-            q = qs[n]
-            pos = F.lit(float(q)) * (F.col("_nv") - F.lit(1)).cast("double")
-            lower = F.floor(pos)
-            higher = F.ceil(pos)
-            term_low = F.sum(
-                F.when(
-                    F.col("_rnv") == lower + 1,
-                    F.when(higher == lower, v).otherwise(v * (higher.cast("double") - pos)),
-                )
-            )
-            term_high = F.sum(
-                F.when(
-                    (F.col("_rnv") == higher + 1) & (higher > lower),
-                    v * (pos - lower.cast("double")),
-                )
-            )
-            aggs[n] = term_low + F.coalesce(term_high, F.lit(0.0))
+            aggs[n] = FT.rank_quantile_agg(qs[n])
 
     return df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
 

@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite a planned sort-merge join to shuffled-hash at
+        # runtime when every post-shuffle partition's build side fits
+        # this bound (guide §3.1; default 0 = off).  2x the 64 MiB AQE
+        # advisory partition size: partitions AQE leaves big (skewed)
+        # stay sort-merge, so the hash build is memory-bounded at any
+        # scale.  Round-6 A/B on the 4.4M-turn latency self-join:
+        # SMJ 3.40 s -> SHJ 3.11 s with no broadcast-path override.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "134217728")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # Parquet scan tuning: at 100 TB, 128 MiB splits keep task counts
