@@ -96,7 +96,10 @@ def m4(
       2. ``partitionBy(keys, bucket)``: the four extremes → filter.
     At 100 TB that is two hash exchanges, the second on the FINER
     (keys, bucket) key — i.e. skew-friendlier than the per-series
-    shuffle the kernel path needs.  Output rows: ≤ 4·width per series.
+    shuffle the kernel path needs.  Output rows: ≤ 4·width distinct
+    extreme VALUES per series; under keep-all-ties SET semantics the
+    row count itself is unbounded when many rows tie an extreme (e.g. a
+    constant series keeps every row in a bucket) — r5 advisor.
 
     Reference parity: the reference plots full-resolution series
     (example notebooks); M4/LTTB are the tier-store downsamples that

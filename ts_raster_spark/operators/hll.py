@@ -97,7 +97,11 @@ def hll_distinct_over_tiers(
     # columns (round 6; previously direct re-scanned raw and re-hashed).
     # The DuckDB twin still computes the register math independently, so
     # the cross-engine attestation is unchanged.
-    coarse_regs = hll_merge(fine_regs, ["bucket_start"])
-    direct = hll_estimate(coarse_regs, ["bucket_start"])
-    merged = hll_estimate(coarse_regs, ["bucket_start"], out_col="hll_from_fine")
-    return exact.join(direct, "bucket_start").join(merged, "bucket_start")
+    merged = hll_estimate(hll_merge(fine_regs, ["bucket_start"]), ["bucket_start"])
+    # both output columns are the same value by the algebra above, so
+    # compute the estimate once and alias it — planning two identical
+    # estimate subtrees cost an extra aggregation pass (round 6)
+    return (
+        exact.join(merged, "bucket_start")
+        .withColumn("hll_from_fine", F.col("hll_estimate"))
+    )

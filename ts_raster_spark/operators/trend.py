@@ -56,6 +56,13 @@ def theil_sen(
 
     Returns one row per entity: ``n``, ``slope``, ``intercept`` (both
     NULL for singleton series, where no pair exists).
+
+    Precondition: ``order_col`` must be unique per entity (the engine's
+    panels guarantee dense per-conversation ``turn_idx``).  Rows sharing
+    an order value form no pair (the strict ``_i < _j`` filter runs
+    before the division, so no Inf/NaN can arise) — their slopes are
+    silently absent from the median, which is almost never what a
+    caller wants; dedupe or re-index such inputs first (r5 advisor).
     """
     ecols = list(entity_cols)
     a = df.select(*ecols, F.col(order_col).alias("_i"), F.col(value_col).alias("_va"))
