@@ -27,7 +27,9 @@ AUDITS = [
         Q.q_rollup_hour_full,
         "ONE Exchange hashpartitioning on the rollup keys serves the "
         "window pre-pass AND the groupBy (count the Exchanges); "
-        "percentiles fused into a single sort.",
+        "quantiles are rank-sum aggregates over the value-ordered rank "
+        "window (round 6) so the wide aggregation runs as codegen "
+        "HashAggregate, not ObjectHashAggregate.",
     ),
     (
         "cascade_day_from_minute",
@@ -128,18 +130,18 @@ AUDITS = [
     (
         "conv_features",
         Q.q_conv_features,
-        "Fused extras (round 3): strike islands, entropy bins and trend "
-        "chunks are window columns on SUPERSET partitionings of the "
-        "rollup keys + plain aggregates in the one groupBy — no "
-        "join-backs, ONE rollup-key Exchange (was 4 pre-passes + 4 "
-        "joins, ~11x slower).",
+        "Fused extras (round 6): strikes are running break-distances, "
+        "entropy folds as 10 conditional sums, trend chunk-max is a "
+        "forward row frame — ALL on the one ordered rollup-key window "
+        "(2 sorts total, was 8) + plain aggregates in the one groupBy; "
+        "ONE rollup-key Exchange.",
     ),
     (
         "conv_features_ext",
         Q.q_conv_features_ext,
         "Extended dictionary: 6 helper windows (per-value multiplicity/"
-        "first-occurrence, cumulative |x|, |x| rank, fused corridor "
-        "percentiles) all satisfy their distribution from the ONE "
+        "first-occurrence, cumulative |x|, |x| rank, rank-sum corridor "
+        "bounds) all satisfy their distribution from the ONE "
         "rollup-key Exchange (subset rule); no expand/gid distinct "
         "rewrite (reoccurrence stats are first-occurrence sums).",
     ),
