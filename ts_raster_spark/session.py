@@ -25,22 +25,6 @@ def get_spark(
     so the bench harness can run the identical job at two parallelism
     levels (the sandbox stand-in for N vs 4N executors).
     """
-    # JIT code cache (round 6): a long session compiles one
-    # whole-stage-codegen class per stage across every query it runs,
-    # and the wide rollups generate large aggregate methods; the JVM's
-    # default ~240 MiB reserved code cache can fill late in a many-query
-    # session, after which new stages run interpreted or thrash the
-    # sweeper.  The flag must reach the JVM at launch, and in
-    # local/client mode `spark.driver.extraJavaOptions` set via the
-    # builder is too late — spark-class honors SPARK_SUBMIT_OPTS, so
-    # append there before the gateway starts (a no-op if a JVM is
-    # already up).  Reserved, not committed: the only cost is virtual
-    # address space.  Idle-box A/B: see OPTIMIZATION_r06.md §11.
-    # APPEND so a pre-existing SPARK_SUBMIT_OPTS (e.g. ivy settings)
-    # survives; a caller-supplied ReservedCodeCacheSize wins.
-    _opts = os.environ.get("SPARK_SUBMIT_OPTS", "")
-    if "ReservedCodeCacheSize" not in _opts:
-        os.environ["SPARK_SUBMIT_OPTS"] = (_opts + " -XX:ReservedCodeCacheSize=1g").strip()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
