@@ -67,6 +67,40 @@ def rollup_features(
     aggs = FT.default_feature_aggs()
     if feature_names is not None:
         aggs = {k: v for k, v in aggs.items() if k in set(feature_names)}
+
+    # Exact quantiles via a value-ordered rank window + plain sums
+    # (round 6).  The holistic percentile() aggregate is a
+    # TypedImperativeAggregate: its presence demotes the WHOLE rollup
+    # aggregation (40+ functions) from whole-stage-codegen HashAggregate
+    # to interpreted ObjectHashAggregate, and it buffers a per-group
+    # value->count map (an OOM hazard on mega-groups).  Instead: rank
+    # each row among its group's non-null values (one extra sort on the
+    # shared rollup-key exchange — no new shuffle), then each quantile
+    # is two conditional SUMs replicating Spark Percentile's exact
+    # interpolation arithmetic: pos = q*(n-1) 0-based, lower=floor,
+    # higher=ceil, result = lowerVal*(higher-pos) + higherVal*(pos-lower)
+    # (single-row value when higher==lower) — bit-identical to the
+    # previous percentile(value, array(...)) output.
+    #
+    # Attached FIRST, before the helper windows: the value sort then
+    # runs on the narrow 6-column frame and the turn-order sort carries
+    # only the two rank longs, instead of the value sort dragging all
+    # ~12 helper doubles through sorter memory (§2.3 "shuffle/sort fewer
+    # bytes").  Window outputs depend only on partition contents and
+    # each spec's own order, so attachment order cannot change any
+    # value: a tied row's _rnv can permute under a different input
+    # order, but every consumer selects the VALUE at a rank hit and
+    # tied rows share that value.  The final aggregate's input order
+    # returns to turn order — the pre-§3 order that rounds 1-5 shipped.
+    q_names = ["quantile_q05", "quantile_q15", "median", "quantile_q85", "quantile_q95"]
+    qs = {"quantile_q05": 0.05, "quantile_q15": 0.15, "median": 0.5,
+          "quantile_q85": 0.85, "quantile_q95": 0.95}
+    fused = [n for n in q_names if n in aggs]
+    if fused:
+        df = FT.attach_value_rank(df, keys)
+        for n in fused:
+            aggs[n] = FT.rank_quantile_agg(qs[n])
+
     # Skip the windowed helper pre-pass (group stats, row numbers, lags —
     # a full sort per group) when every requested feature is closed-form.
     needs_helpers = (
@@ -93,28 +127,6 @@ def rollup_features(
     if include_entropy:
         df = FT.attach_entropy_cols(df, keys, bins=10)
         aggs.update(FT.entropy_agg(bins=10))
-
-    # Exact quantiles via a value-ordered rank window + plain sums
-    # (round 6).  The holistic percentile() aggregate is a
-    # TypedImperativeAggregate: its presence demotes the WHOLE rollup
-    # aggregation (40+ functions) from whole-stage-codegen HashAggregate
-    # to interpreted ObjectHashAggregate, and it buffers a per-group
-    # value->count map (an OOM hazard on mega-groups).  Instead: rank
-    # each row among its group's non-null values (one extra sort on the
-    # shared rollup-key exchange — no new shuffle), then each quantile
-    # is two conditional SUMs replicating Spark Percentile's exact
-    # interpolation arithmetic: pos = q*(n-1) 0-based, lower=floor,
-    # higher=ceil, result = lowerVal*(higher-pos) + higherVal*(pos-lower)
-    # (single-row value when higher==lower) — bit-identical to the
-    # previous percentile(value, array(...)) output.
-    q_names = ["quantile_q05", "quantile_q15", "median", "quantile_q85", "quantile_q95"]
-    qs = {"quantile_q05": 0.05, "quantile_q15": 0.15, "median": 0.5,
-          "quantile_q85": 0.85, "quantile_q95": 0.95}
-    fused = [n for n in q_names if n in aggs]
-    if fused:
-        df = FT.attach_value_rank(df, keys)
-        for n in fused:
-            aggs[n] = FT.rank_quantile_agg(qs[n])
 
     return df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
 
